@@ -1,0 +1,57 @@
+"""sem_tpu — a TPU-native (JAX/XLA/Pallas/pjit) spectral-element framework.
+
+Re-designed from scratch with the capabilities of the reference Galerkin SEM
+framework (Tangxiaotian11/SEM): Gauss-Legendre-Lobatto nodal bases, 2D
+continuous-Galerkin tensor-product discretization, steady convection-diffusion
+and Navier-Stokes (Boussinesq) solvers, and multidisciplinary coupling with
+nonlinear Gauss-Seidel / Newton-block-Jacobi / block-Jacobi-preconditioned
+Newton-Krylov MDA schemes.
+
+Architectural differences from the reference (see SURVEY.md §7):
+
+* **Matrix-free everywhere.** The reference eagerly assembles global SciPy CSR
+  matrices and rank-3 sparse convection tensors (reference SEM.py:113-146,
+  :226-245).  Here every operator is applied matrix-free: linear operators
+  (mass/stiffness/gradient) exploit the global tensor-product structure
+  ``A = A1x ⊗ M1y + M1x ⊗ A1y`` and are applied as two dense 1D matmuls on the
+  field in grid form — MXU-shaped work; the nonlinear convection term is a
+  batched per-element sum-factorization contraction plus a C0 scatter-add
+  (``segment_sum``).
+* **Fast-diagonalization direct solves** replace SuperLU (reference
+  NavierStokes_Solver.py:184): on the uniform tensor-product mesh the
+  Dirichlet-restricted Laplacian is inverted *exactly* by a generalized
+  eigendecomposition per dimension and four dense matmuls per apply.
+* **jit-compiled restarted GMRES** (``lax.while_loop``) replaces SciPy LGMRES
+  (reference ConvectionDiffusion_Solver.py:146, NavierStokes_Solver.py:222).
+* **Pure-JAX MDA couplers** replace OpenMDAO + MPI + PETSc (reference
+  OpenMDAO/*); disciplinary fields shard over a ``jax.sharding.Mesh`` with XLA
+  collectives instead of MPI messages.
+
+float64 is enabled at import because the reference's Newton iterations
+converge to 1e-13 rms residuals (reference NavierStokes_Solver.py:13);
+all hot kernels also accept float32/bfloat16 inputs for speed benchmarking.
+"""
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from sem_tpu import gll
+from sem_tpu.mesh import Grid2D
+from sem_tpu import operators
+from sem_tpu.krylov import gmres, cg
+from sem_tpu.fdm import FDM2D
+from sem_tpu.models.convection_diffusion import ConvectionDiffusionSolver
+from sem_tpu.models.navier_stokes import NavierStokesSolver
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "gll",
+    "Grid2D",
+    "operators",
+    "gmres",
+    "cg",
+    "FDM2D",
+    "ConvectionDiffusionSolver",
+    "NavierStokesSolver",
+]

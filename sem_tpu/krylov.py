@@ -1,0 +1,193 @@
+"""jit-compiled matrix-free Krylov solvers (restarted GMRES, CG).
+
+Replaces the reference's SciPy LGMRES calls (reference
+ConvectionDiffusion_Solver.py:146-148, NavierStokes_Solver.py:222-226) with a
+device-resident restarted GMRES built from ``lax.while_loop`` /
+``lax.fori_loop``: fixed-size Krylov buffers, incremental Givens rotations,
+masked modified-Gram-Schmidt — so the entire solve (including nested solves,
+cf. the Uzawa pressure-Schur iteration) compiles into one XLA program.
+
+Design notes:
+
+* **Right preconditioning** (solve ``A M⁻¹ y = b``, ``x = M⁻¹ y``): the
+  Arnoldi/Givens recurrence then tracks the *true* residual norm, so the
+  ``atol`` convergence test matches the reference's semantics
+  (absolute tolerance = mtol·√N, reference ConvectionDiffusion_Solver.py:147).
+* All reductions are ``jnp.vdot``/``jnp.linalg`` ops: under ``jit`` over a
+  sharded mesh they lower to ``psum`` collectives over ICI — the TPU-native
+  replacement of PETSc's internal MPI reductions (reference
+  Boussinesq_ParallelCoupler.py:91-93; SURVEY.md §5.8).
+* No Python-level control flow on traced values: solvers are safe to call
+  inside other jitted code (nested Krylov).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["gmres", "cg", "KrylovInfo"]
+
+
+class KrylovInfo(NamedTuple):
+    """Solver diagnostics (all traced scalars — safe to return from jit)."""
+
+    converged: jax.Array   # bool
+    iterations: jax.Array  # int32: number of operator applications
+    resnorm: jax.Array     # final (estimated) residual 2-norm
+
+
+def _identity(x):
+    return x
+
+
+def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
+          atol: float, restart: int = 30, maxiter: int = 1000,
+          precon: Optional[Callable] = None):
+    """Restarted GMRES(m) with right preconditioning.
+
+    :param matvec:  linear operator ``A(x)`` (must be traceable)
+    :param b:       right-hand side (any pytree-free flat array)
+    :param x0:      initial guess (zeros if None) — warm starts supported as in
+                    the reference (dT0/du0/dp0 threading)
+    :param atol:    absolute tolerance on ||b - A x||₂
+    :param restart: Krylov window m
+    :param maxiter: max TOTAL inner iterations (matvec applications)
+    :param precon:  *linear* right preconditioner ``M⁻¹(r)``
+    :return: (x, KrylovInfo)
+    """
+    if precon is None:
+        precon = _identity
+    m = int(restart)
+    n = b.shape[0]
+    dtype = b.dtype
+    eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+    atol = jnp.asarray(atol, dtype)
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    def new_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, eps_tiny))
+        H = jnp.zeros((m + 1, m), dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        return x, V, H, cs, sn, g, beta
+
+    x, V, H, cs, sn, g, beta0 = new_cycle(x0)
+
+    # State: (x, V, H, cs, sn, g, k, it, res, done)
+    state = (x, V, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
+             beta0 <= atol)
+
+    def cond(state):
+        return ~state[-1]
+
+    def body(state):
+        x, V, H, cs, sn, g, k, it, res, done = state
+
+        w = matvec(precon(V[k]))
+        # masked modified Gram-Schmidt against V[0..k]
+        def orth(j, carry):
+            w, h = carry
+            hj = jnp.where(j <= k, jnp.vdot(V[j], w), jnp.asarray(0, dtype))
+            return w - hj * V[j], h.at[j].set(hj)
+
+        w, h = lax.fori_loop(0, m, orth, (w, jnp.zeros(m + 1, dtype)))
+        hk1 = jnp.linalg.norm(w)
+        h = h.at[k + 1].set(hk1)
+        V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
+
+        # apply previous Givens rotations to the new column
+        def rot(j, h):
+            a = cs[j] * h[j] + sn[j] * h[j + 1]
+            bb = -sn[j] * h[j] + cs[j] * h[j + 1]
+            return jnp.where(j < k, h.at[j].set(a).at[j + 1].set(bb), h)
+
+        h = lax.fori_loop(0, m, rot, h)
+        # new rotation zeroing h[k+1]
+        denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
+        c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny), 1.0)
+        s = jnp.where(denom > eps_tiny, h[k + 1] / jnp.maximum(denom, eps_tiny), 0.0)
+        cs = cs.at[k].set(c)
+        sn = sn.at[k].set(s)
+        h = h.at[k].set(denom).at[k + 1].set(0.0)
+        H = H.at[:, k].set(h)
+        g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
+        res = jnp.abs(g[k + 1])
+        it = it + 1
+
+        conv = res <= atol
+        end_cycle = conv | (k + 1 >= m) | (it >= maxiter)
+
+        def finish(_):
+            kk = k + 1  # columns in use
+            idx = jnp.arange(m)
+            used = idx < kk
+            # masked triangular solve: unused rows/cols -> identity, rhs -> 0
+            R = H[:m, :m]
+            Rm = jnp.where(used[:, None] & used[None, :], R,
+                           jnp.eye(m, dtype=dtype))
+            rhs = jnp.where(used, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
+            # right-preconditioned update: x += M⁻¹ (Vᵀ y)  (precon is linear)
+            dx = precon(V[:m].T @ y)
+            x_new = x + dx
+            xn, Vn, Hn, csn, snn, gn, beta = new_cycle(x_new)
+            # recompute the true residual at cycle end; use it for the test
+            done_new = (beta <= atol) | (it >= maxiter)
+            return xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta, done_new
+
+        def cont(_):
+            return x, V, H, cs, sn, g, k + 1, it, res, done
+
+        return lax.cond(end_cycle, finish, cont, None)
+
+    x, V, H, cs, sn, g, k, it, res, done = lax.while_loop(cond, body, state)
+    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res)
+
+
+def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
+       atol: float, maxiter: int = 1000,
+       precon: Optional[Callable] = None):
+    """Preconditioned conjugate gradients for SPD operators.
+
+    Offered alongside GMRES for symmetric systems (e.g. pure-diffusion
+    subproblems); convergence test on the true residual 2-norm like ``gmres``.
+    """
+    if precon is None:
+        precon = _identity
+    dtype = b.dtype
+    atol = jnp.asarray(atol, dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    r = b - matvec(x)
+    z = precon(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    state = (x, r, z, p, rz, jnp.int32(0))
+
+    def cond(s):
+        x, r, z, p, rz, it = s
+        return (jnp.linalg.norm(r) > atol) & (it < maxiter)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precon(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, z, p, rz_new, it + 1
+
+    x, r, z, p, rz, it = lax.while_loop(cond, body, state)
+    res = jnp.linalg.norm(r)
+    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res)

@@ -1,0 +1,210 @@
+"""Steady convection-diffusion solver (matrix-free, TPU-native).
+
+Solves, for T(x,y) on [0,L_x]×[0,L_y] given velocities u, v::
+
+    Pe [u, v]∘∇T = ∇²T
+
+with per-side Dirichlet (value) or homogeneous Neumann (``None``) boundary
+conditions — exactly the BC semantics of the reference
+(reference ConvectionDiffusion_Solver.py:9-71).
+
+Implements the same seven-method implicit-discipline protocol the reference's
+coupling layer consumes (``_get_residuals``, ``_calc_jacobians``,
+``_get_dresiduals``, ``_get_update``, ``_get_solution``, ``_get_vector``,
+``_get_interpol`` — reference ConvectionDiffusion_Solver.py:73-188), so a user
+of the reference finds the identical surface, but:
+
+* the residual/Jacobian applies are matrix-free (no CSR, no rank-3 COO
+  tensors — cf. reference :53-55, :82-87, :101-102);
+* the linear solve is an on-device jitted GMRES **right-preconditioned by an
+  exact fast-diagonalization inverse of the masked diffusion operator**
+  (``sem_tpu.fdm.FDM2D``), instead of unpreconditioned SciPy LGMRES with an
+  O(0.3·N) inner window (reference :146-148).
+"""
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sem_tpu import operators as ops
+from sem_tpu.fdm import FDM2D
+from sem_tpu.interp import PointEvaluator
+from sem_tpu.krylov import gmres
+from sem_tpu.mesh import Grid2D
+
+__all__ = ["ConvectionDiffusionSolver"]
+
+
+class ConvectionDiffusionSolver:
+    def __init__(self, L_x: float, L_y: float, Pe: float, P: int,
+                 N_ex: int, N_ey: int,
+                 T_W: float = None, T_E: float = None,
+                 T_S: float = None, T_N: float = None,
+                 mtol: float = 1e-7, iprint: list = (),
+                 restart: int = 40, maxiter: int = 5000,
+                 dtype=jnp.float64):
+        """
+        :param L_x, L_y: domain lengths
+        :param Pe: Peclet number
+        :param P: polynomial order
+        :param N_ex, N_ey: elements per direction
+        :param T_W/T_E/T_S/T_N: Dirichlet value or None ⇒ homogeneous Neumann
+        :param mtol: tolerance on RMS residual for the linear solve
+            (absolute tolerance = mtol·√N, reference convention :147)
+        :param iprint: diagnostics tags; supports 'LGMRES_suc' (solve summary)
+        :param restart: GMRES restart window
+        :param maxiter: GMRES max total iterations
+        :param dtype: compute dtype (float64 default for spectral accuracy)
+        """
+        self._iprint = list(iprint)
+        self._Pe = float(Pe)
+        self._mtol = float(mtol)
+        self._restart = int(restart)
+        self._maxiter = int(maxiter)
+        self._dtype = dtype
+
+        self.grid = Grid2D(P, N_ex, N_ey, L_x, L_y)
+        self._L_x, self._L_y = float(L_x), float(L_y)
+        self._P, self._N_ex, self._N_ey = P, N_ex, N_ey
+        self.points = self.grid.points
+        self.points_e = self.grid.points_e
+        self.N = self.grid.N
+
+        # Dirichlet values & mask (None ⇒ homogeneous Neumann on that side),
+        # matching reference ConvectionDiffusion_Solver.py:62-71.
+        dirichlet = np.full(self.N, np.nan)
+        for side, val in (("W", T_W), ("E", T_E), ("S", T_S), ("N", T_N)):
+            if val is not None:
+                dirichlet[self.grid.side_mask(side)] = val
+        self._mask_dir_np = ~np.isnan(dirichlet)
+        self._mask_dir = jnp.asarray(self._mask_dir_np)
+        self._dirichlet = jnp.asarray(np.where(self._mask_dir_np, dirichlet,
+                                               0.0), dtype=dtype)
+
+        # exact masked-diffusion inverse (preconditioner)
+        self._fdm = FDM2D(self.grid,
+                          dirichlet_x=(T_W is not None, T_E is not None),
+                          dirichlet_y=(T_S is not None, T_N is not None))
+
+        # linearization state (mirrors the reference's statefulness:
+        # _Sys from the last _get_residuals call :85, Jacobians from the last
+        # _calc_jacobians call :101-102)
+        self._u = None
+        self._v = None
+        self._jac_diag_u = None   # diag of ∂res/∂u (global diagonal)
+        self._jac_diag_v = None
+
+        self.iter_count_solve = 0   # number of _get_update calls
+        self.last_info = None       # KrylovInfo of the last linear solve
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------ #
+    def _build_jitted(self):
+        grid, Pe = self.grid, self._Pe
+        mask, dirichlet = self._mask_dir, self._dirichlet
+        fdm = self._fdm
+        atol = self._mtol * np.sqrt(self.N)
+        restart, maxiter = self._restart, self._maxiter
+
+        def residual(T, u, v):
+            r = Pe * ops.apply_convection(grid, u, v, T) \
+                + ops.apply_stiffness(grid, T)
+            return jnp.where(mask, T - dirichlet, r)
+
+        def dres(dT, u, v, jdu, jdv, du, dv):
+            """Tangent residual; jdu/jdv are the (diagonal) velocity Jacobians."""
+            r = Pe * ops.apply_convection(grid, u, v, dT) \
+                + ops.apply_stiffness(grid, dT)
+            r = r + jdu * du + jdv * dv
+            return jnp.where(mask, dT, r)
+
+        def jac_diags(T):
+            return (Pe * ops.conv_diag_x(grid, T),
+                    Pe * ops.conv_diag_y(grid, T))
+
+        def update(drhs, u, v, dT0):
+            mv = lambda dT: dres(dT, u, v, jnp.zeros_like(drhs),
+                                 jnp.zeros_like(drhs),
+                                 jnp.zeros_like(drhs), jnp.zeros_like(drhs))
+            return gmres(mv, drhs, x0=dT0, atol=atol, restart=restart,
+                         maxiter=maxiter, precon=fdm)
+
+        self._residual_jit = jax.jit(residual)
+        self._dres_jit = jax.jit(dres)
+        self._jac_diags_jit = jax.jit(jac_diags)
+        self._update_jit = jax.jit(update)
+
+    # ---------------- seven-method discipline protocol ---------------- #
+    def _get_residuals(self, T, u, v):
+        """Residual of the masked system (parity: reference :73-92)."""
+        self._u = jnp.asarray(u, self._dtype)
+        self._v = jnp.asarray(v, self._dtype)
+        return self._residual_jit(jnp.asarray(T, self._dtype), self._u, self._v)
+
+    def _calc_jacobians(self, T):
+        """Precompute ∂res/∂(u,v) diagonals (parity: reference :94-102)."""
+        jdu, jdv = self._jac_diags_jit(jnp.asarray(T, self._dtype))
+        self._jac_diag_u = jdu
+        self._jac_diag_v = jdv
+
+    def _get_dresiduals(self, dT, du=None, dv=None):
+        """Tangent residual with the stored linearization (reference :104-121)."""
+        z = jnp.zeros(self.N, self._dtype)
+        jdu = self._jac_diag_u if du is not None else z
+        jdv = self._jac_diag_v if dv is not None else z
+        du = z if du is None else jnp.asarray(du, self._dtype)
+        dv = z if dv is None else jnp.asarray(dv, self._dtype)
+        return self._dres_jit(jnp.asarray(dT, self._dtype), self._u, self._v,
+                              jdu, jdv, du, dv)
+
+    def _get_update(self, dres, dT0=None):
+        """Solve the tangent system for dT (reference :123-156).
+
+        GMRES with FDM right preconditioning; raises RuntimeError on
+        non-convergence like the reference (:149-150).
+        """
+        dT0 = None if dT0 is None else jnp.asarray(dT0, self._dtype)
+        dT, info = self._update_jit(jnp.asarray(dres, self._dtype),
+                                    self._u, self._v,
+                                    jnp.zeros(self.N, self._dtype)
+                                    if dT0 is None else dT0)
+        self.last_info = info
+        self.iter_count_solve += 1
+        if not bool(info.converged):
+            raise RuntimeError(
+                f"ConvectionDiffusion GMRES: failed to converge in "
+                f"{int(info.iterations)} iterations (resnorm "
+                f"{float(info.resnorm):.3e})")
+        if "LGMRES_suc" in self._iprint:
+            print(f"ConvectionDiffusion GMRES: converged in "
+                  f"{int(info.iterations)} iterations with resnorm "
+                  f"{float(info.resnorm):.3e}")
+        return dT
+
+    def _get_solution(self, u, v, T0=None):
+        """Single Newton step — the problem is linear in T (reference :158-170)."""
+        T = (jnp.zeros(self.N, self._dtype) if T0 is None
+             else jnp.asarray(T0, self._dtype))
+        res = self._get_residuals(T, u, v)
+        dT = self._get_update(-res)
+        return T + dT
+
+    def _get_vector(self, f_func: typing.Callable) -> np.ndarray:
+        """Evaluate a callable at the global nodes (reference :172-178)."""
+        return np.asarray(f_func(self.points[0], self.points[1]), dtype=float)
+
+    def _get_interpol(self, f, points_plot) -> np.ndarray:
+        """Evaluate the SEM interpolant at plot points (reference :180-188)."""
+        return PointEvaluator(self.grid, points_plot)(jnp.asarray(f, self._dtype))
+
+    def run(self, u_func, v_func, points_plot) -> np.ndarray:
+        """End-to-end solve: velocities → T at plot points (reference :190-203)."""
+        u = jnp.asarray(self._get_vector(u_func), self._dtype)
+        v = jnp.asarray(self._get_vector(v_func), self._dtype)
+        T = self._get_solution(u, v)
+        return self._get_interpol(T, points_plot)

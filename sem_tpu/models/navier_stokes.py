@@ -1,0 +1,340 @@
+"""Steady Navier-Stokes (+ Boussinesq buoyancy) solver — matrix-free Newton/Uzawa.
+
+Solves, for (u, v, p) on [0,L_x]×[0,L_y] given a temperature field T::
+
+    Re ([u,v]∘∇)[u,v] = -∇p + ∇²[u,v] + Gr/Re [0, T]
+    ∇∘[u,v] = 0
+
+with no-normal-flow + tangential-Dirichlet walls, a pinned reference pressure
+at the (approximate) center node, and artificial homogeneous-Neumann pressure
+rows on the boundary — the exact BC construction of the reference
+(reference NavierStokes_Solver.py:10-91, :114-119).
+
+Solution structure (parity with reference :238-268 / :162-236):
+
+* outer **Newton** iteration on the full nonlinear residual with RMS-scaled
+  tolerance ``mtol_newton·√(3N)``;
+* inner linear solve by the **Uzawa / pressure-Schur complement**: the 2N×2N
+  velocity Jacobian block is inverted per Schur matvec, the pressure update
+  comes from GMRES on the Schur operator with the inverse-diagonal-mass
+  preconditioner (works because the GLL mass matrix is diagonal, reference
+  :208-212), and velocities are back-substituted.
+
+TPU-native deltas from the reference:
+
+* the velocity-block solve replaces the per-Newton-step **SuperLU
+  factorization** (reference :176-187, flagged there as a memory-bound
+  placeholder) with jitted GMRES right-preconditioned by the **exact
+  fast-diagonalization inverse** of the Dirichlet-masked Laplacian
+  (``sem_tpu.fdm.FDM2D``) — no factorization, no fill-in, dense-matmul work;
+* every operator application is matrix-free (no CSR ``bmat``, no sparse
+  rank-3 tensors); the convection Jacobian blocks are global *diagonals*
+  (see ``sem_tpu.operators.conv_diag_*``);
+* the whole Uzawa update (nested Krylov included) compiles to one XLA program.
+"""
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sem_tpu import operators as ops
+from sem_tpu.fdm import FDM2D
+from sem_tpu.interp import PointEvaluator
+from sem_tpu.krylov import gmres
+from sem_tpu.mesh import Grid2D
+
+__all__ = ["NavierStokesSolver"]
+
+
+class NavierStokesSolver:
+    def __init__(self, L_x: float, L_y: float, Re: float, Gr: float, P: int,
+                 N_ex: int, N_ey: int,
+                 v_W: float = 0, v_E: float = 0, u_S: float = 0, u_N: float = 0,
+                 mtol: float = 1e-7, mtol_newton: float = 1e-5,
+                 iprint: list = ("NEWTON_suc", "NEWTON_iter"),
+                 restart: int = 60, maxiter: int = 5000,
+                 restart_velo: int = 60, maxiter_velo: int = 4000,
+                 max_newton: int = 100,
+                 dtype=jnp.float64):
+        """
+        :param Re: Reynolds number; :param Gr: Grashof number
+        :param v_W/v_E/u_S/u_N: tangential Dirichlet wall values
+        :param mtol: RMS tolerance of the pressure-Schur GMRES
+        :param mtol_newton: RMS tolerance of the Newton iteration
+        :param iprint: tags among {'NEWTON_iter','NEWTON_suc','LGMRES_suc','VELO_suc'}
+        :param restart/maxiter: Schur GMRES parameters
+        :param restart_velo/maxiter_velo: velocity-block GMRES parameters
+        :param max_newton: safety cap on Newton iterations (reference loops
+            unboundedly, reference :253)
+        """
+        self._iprint = list(iprint)
+        self._Re = float(Re)
+        self._Gr = float(Gr)
+        if self._Re == 0 and self._Gr != 0:
+            raise ValueError("Cannot have Re == 0 and Gr != 0")
+        self._Gr_over_Re = self._Gr / self._Re if self._Re != 0 else 0.0
+        self._mtol = float(mtol)
+        self._mtol_newton = float(mtol_newton)
+        self._restart = int(restart)
+        self._maxiter = int(maxiter)
+        self._restart_velo = int(restart_velo)
+        self._maxiter_velo = int(maxiter_velo)
+        self._max_newton = int(max_newton)
+        self._dtype = dtype
+
+        self.grid = Grid2D(P, N_ex, N_ey, L_x, L_y)
+        self._L_x, self._L_y = float(L_x), float(L_y)
+        self._P, self._N_ex, self._N_ey = P, N_ex, N_ey
+        self.points = self.grid.points
+        self.points_e = self.grid.points_e
+        self.N = self.grid.N
+
+        # Dirichlet values and masks (reference :78-91): no normal flow on all
+        # walls, tangential values per side, pressure pinned at ~center node.
+        dir_u = np.full(self.N, np.nan)
+        dir_v = np.full(self.N, np.nan)
+        for side, du_, dv_ in (("W", 0.0, v_W), ("E", 0.0, v_E),
+                               ("S", u_S, 0.0), ("N", u_N, 0.0)):
+            m = self.grid.side_mask(side)
+            dir_u[m] = du_
+            dir_v[m] = dv_
+        self._mask_bound_np = ~np.isnan(dir_u)
+        self._mask_bound = jnp.asarray(self._mask_bound_np)
+        self._dirichlet_u = jnp.asarray(np.nan_to_num(dir_u), dtype=dtype)
+        self._dirichlet_v = jnp.asarray(np.nan_to_num(dir_v), dtype=dtype)
+        self._pin = int(self.N / 2)
+        pin_mask = np.zeros(self.N, dtype=bool)
+        pin_mask[self._pin] = True
+        self._mask_pin = jnp.asarray(pin_mask)
+
+        # exact masked-Laplacian inverse for the velocity blocks
+        self._fdm = FDM2D(self.grid, dirichlet_x=(True, True),
+                          dirichlet_y=(True, True))
+
+        # linearization state (u, v of the last _calc_jacobians; convection
+        # Jacobian diagonals — reference :123-136 keeps 4 CSR matrices)
+        self._u_lin = None
+        self._v_lin = None
+        self._jac = None  # (jxx, jxy, jyx, jyy) diagonal vectors
+
+        self._k = 0                 # Newton iterations of the last solve
+        self.iter_count_solve = 0   # number of _get_update calls
+        self.last_schur_info = None
+        self.last_velo_info = None
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------ #
+    def _build_jitted(self):
+        grid = self.grid
+        Re, GrRe = self._Re, self._Gr_over_Re
+        mb, pin = self._mask_bound, self._mask_pin
+        dir_u, dir_v = self._dirichlet_u, self._dirichlet_v
+        fdm = self._fdm
+        N = self.N
+        dtype = self._dtype
+        eps = float(np.finfo(np.dtype(dtype)).eps)
+
+        atol_schur = self._mtol * np.sqrt(N)
+        # velocity block: solved (nearly) exactly, like the reference's LU —
+        # tight tolerance with a machine-precision floor
+        atol_velo_abs = 1e-2 * self._mtol * np.sqrt(2 * N)
+
+        def sys_apply(u, v, w):
+            """K w + Re (u∂x + v∂y) w (reference 'Sys', :103-106)."""
+            return ops.apply_stiffness(grid, w) \
+                + Re * ops.apply_convection(grid, u, v, w)
+
+        def residual(u, v, p, T):
+            ru = sys_apply(u, v, u) + ops.apply_grad_x(grid, p)
+            rv = sys_apply(u, v, v) + ops.apply_grad_y(grid, p) \
+                - GrRe * ops.apply_mass(grid, T)
+            rc = ops.apply_grad_x(grid, u) + ops.apply_grad_y(grid, v)
+            ru = jnp.where(mb, u - dir_u, ru)
+            rv = jnp.where(mb, v - dir_v, rv)
+            Kp = ops.apply_stiffness(grid, p)
+            rc = jnp.where(mb, Kp, rc)         # artificial ∂ₙp = 0 rows (:119)
+            rc = jnp.where(pin, p, rc)         # pressure pin (:116)
+            return ru, rv, rc
+
+        def jac_diags(u, v):
+            return (Re * ops.conv_diag_x(grid, u),
+                    Re * ops.conv_diag_y(grid, u),
+                    Re * ops.conv_diag_x(grid, v),
+                    Re * ops.conv_diag_y(grid, v))
+
+        def dres(du, dv, dp, dT, u_lin, v_lin, jac):
+            jxx, jxy, jyx, jyy = jac
+            dru = sys_apply(u_lin, v_lin, du) + jxx * du + jxy * dv \
+                + ops.apply_grad_x(grid, dp)
+            drv = sys_apply(u_lin, v_lin, dv) + jyx * du + jyy * dv \
+                + ops.apply_grad_y(grid, dp) - GrRe * ops.apply_mass(grid, dT)
+            drc = ops.apply_grad_x(grid, du) + ops.apply_grad_y(grid, dv)
+            dru = jnp.where(mb, du, dru)
+            drv = jnp.where(mb, dv, drv)
+            drc = jnp.where(mb, ops.apply_stiffness(grid, dp), drc)
+            drc = jnp.where(pin, dp, drc)
+            return dru, drv, drc
+
+        zero = lambda: jnp.zeros(N, dtype)
+
+        def solve_velo(bu, bv, u_lin, v_lin, jac, q0):
+            """Invert the masked 2N×2N velocity Jacobian (SuperLU replacement)."""
+            b = jnp.concatenate([bu, bv])
+
+            def mv(q):
+                du, dv = q[:N], q[N:]
+                dru, drv, _ = dres(du, dv, zero(), zero(), u_lin, v_lin, jac)
+                return jnp.concatenate([dru, drv])
+
+            def pc(q):
+                return jnp.concatenate([fdm(q[:N]), fdm(q[N:])])
+
+            atol = jnp.maximum(jnp.asarray(atol_velo_abs, dtype),
+                               100 * eps * jnp.linalg.norm(b))
+            return gmres(mv, b, x0=q0, atol=atol,
+                         restart=self._restart_velo,
+                         maxiter=self._maxiter_velo, precon=pc)
+
+        mass_diag = jnp.asarray(grid.mass_diag, dtype=dtype)
+
+        def precon_schur(c):
+            """Inverse-diagonal-mass preconditioner (reference :208-212)."""
+            return jnp.where(pin, c, c / mass_diag)
+
+        def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0):
+            """Full Uzawa update (reference :162-236), one XLA program."""
+            # velocity pre-solve: A⁻¹ rhs_uv
+            q_star, velo_info = solve_velo(res_u, res_v, u_lin, v_lin, jac,
+                                           jnp.zeros(2 * N, dtype))
+            b_schur = res_cont - dres(q_star[:N], q_star[N:], zero(), zero(),
+                                      u_lin, v_lin, jac)[2]
+
+            def schur_mv(dp):
+                bu, bv, _ = dres(zero(), zero(), dp, zero(), u_lin, v_lin, jac)
+                f, _ = solve_velo(bu, bv, u_lin, v_lin, jac,
+                                  jnp.zeros(2 * N, dtype))
+                return dres(-f[:N], -f[N:], dp, zero(), u_lin, v_lin, jac)[2]
+
+            dp, schur_info = gmres(schur_mv, b_schur, x0=dp0,
+                                   atol=atol_schur, restart=self._restart,
+                                   maxiter=self._maxiter, precon=precon_schur)
+
+            # velocity back-substitution (reference :232-235)
+            bu, bv, _ = dres(zero(), zero(), dp, zero(), u_lin, v_lin, jac)
+            q, velo_info2 = solve_velo(res_u - bu, res_v - bv, u_lin, v_lin,
+                                       jac, q_star)
+            return q[:N], q[N:], dp, schur_info, velo_info2
+
+        self._residual_jit = jax.jit(residual)
+        self._jac_diags_jit = jax.jit(jac_diags)
+        self._dres_jit = jax.jit(dres)
+        self._update_jit = jax.jit(update)
+
+    # ---------------- seven-method discipline protocol ---------------- #
+    def _get_residuals(self, u, v, p, T):
+        """Momentum + continuity residuals (reference :93-121)."""
+        u = jnp.asarray(u, self._dtype)
+        v = jnp.asarray(v, self._dtype)
+        self._u_lin, self._v_lin = u, v  # 'Sys' statefulness (reference :106)
+        return self._residual_jit(u, v, jnp.asarray(p, self._dtype),
+                                  jnp.asarray(T, self._dtype))
+
+    def _calc_jacobians(self, u, v):
+        """Precompute the convection Jacobian diagonals (reference :123-136)."""
+        u = jnp.asarray(u, self._dtype)
+        v = jnp.asarray(v, self._dtype)
+        self._u_lin, self._v_lin = u, v
+        self._jac = self._jac_diags_jit(u, v)
+
+    def _get_dresiduals(self, du, dv, dp, dT=None):
+        """Tangent residuals with the stored linearization (reference :138-160)."""
+        z = jnp.zeros(self.N, self._dtype)
+        dT = z if dT is None else jnp.asarray(dT, self._dtype)
+        return self._dres_jit(jnp.asarray(du, self._dtype),
+                              jnp.asarray(dv, self._dtype),
+                              jnp.asarray(dp, self._dtype), dT,
+                              self._u_lin, self._v_lin, self._jac)
+
+    def _get_update(self, dres_u, dres_v, dres_cont,
+                    du0=None, dv0=None, dp0=None):
+        """Uzawa/pressure-Schur solve for (du, dv, dp) (reference :162-236)."""
+        dp0 = (jnp.zeros(self.N, self._dtype) if dp0 is None
+               else jnp.asarray(dp0, self._dtype))
+        du, dv, dp, schur_info, velo_info = self._update_jit(
+            jnp.asarray(dres_u, self._dtype), jnp.asarray(dres_v, self._dtype),
+            jnp.asarray(dres_cont, self._dtype),
+            self._u_lin, self._v_lin, self._jac, dp0)
+        self.last_schur_info = schur_info
+        self.last_velo_info = velo_info
+        self.iter_count_solve += 1
+        if not bool(schur_info.converged):
+            raise RuntimeError(
+                f"NavierStokes Schur GMRES: failed to converge in "
+                f"{int(schur_info.iterations)} iterations (resnorm "
+                f"{float(schur_info.resnorm):.3e})")
+        if "LGMRES_suc" in self._iprint:
+            print(f"NavierStokes Schur GMRES: converged in "
+                  f"{int(schur_info.iterations)} iterations with resnorm "
+                  f"{float(schur_info.resnorm):.3e}")
+        if "VELO_suc" in self._iprint or "LU_suc" in self._iprint:
+            print(f"NavierStokes velocity solve: {int(velo_info.iterations)} "
+                  f"iterations, resnorm {float(velo_info.resnorm):.3e}, "
+                  f"converged={bool(velo_info.converged)}")
+        return du, dv, dp
+
+    def _get_solution(self, T, u0=None, v0=None, p0=None):
+        """Newton iteration to RMS tolerance (reference :238-270)."""
+        z = jnp.zeros(self.N, self._dtype)
+        u = z if u0 is None else jnp.asarray(u0, self._dtype)
+        v = z if v0 is None else jnp.asarray(v0, self._dtype)
+        p = z if p0 is None else jnp.asarray(p0, self._dtype)
+        T = jnp.asarray(T, self._dtype)
+
+        atol = self._mtol_newton * np.sqrt(self.N * 3)
+        self._k = 0
+        while True:
+            ru, rv, rc = self._get_residuals(u, v, p, T)
+            norm = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
+                                  + jnp.vdot(rc, rc)))
+            if "NEWTON_iter" in self._iprint:
+                print(f"NavierStokes NEWTON: {self._k}\t{norm}")
+            if norm <= atol:
+                if "NEWTON_suc" in self._iprint:
+                    mx = float(jnp.max(jnp.concatenate([
+                        jnp.abs(ru), jnp.abs(rv), jnp.abs(rc)])))
+                    print(f"NavierStokes NEWTON: Converged in {self._k} "
+                          f"iterations with max-norm {mx}")
+                break
+            if self._k >= self._max_newton:
+                raise RuntimeError(
+                    f"NavierStokes NEWTON: no convergence in {self._k} "
+                    f"iterations (residual {norm:.3e}, target {atol:.3e})")
+            self._calc_jacobians(u, v)
+            du, dv, dp = self._get_update(-ru, -rv, -rc)
+            u = u + du
+            v = v + dv
+            p = p + dp
+            self._k += 1
+        return u, v, p
+
+    def _get_vector(self, f_func: typing.Callable) -> np.ndarray:
+        """Evaluate a callable at the global nodes (reference :272-278)."""
+        return np.asarray(f_func(self.points[0], self.points[1]), dtype=float)
+
+    def _get_interpol(self, f, points_plot) -> np.ndarray:
+        """Evaluate the SEM interpolant at plot points (reference :280-288)."""
+        return PointEvaluator(self.grid, points_plot)(jnp.asarray(f, self._dtype))
+
+    def run(self, T_func, points_plot):
+        """End-to-end solve: temperature → (u, v, p) at plot points
+        (reference :290-303)."""
+        T = jnp.asarray(self._get_vector(T_func), self._dtype)
+        u, v, p = self._get_solution(T)
+        return (self._get_interpol(u, points_plot),
+                self._get_interpol(v, points_plot),
+                self._get_interpol(p, points_plot))

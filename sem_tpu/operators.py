@@ -1,0 +1,196 @@
+"""Matrix-free global SEM operators — the performance core.
+
+The reference assembles every global operator eagerly into SciPy CSR matrices
+or rank-3 sparse COO tensors and applies them with sparse matvecs / tensordots
+(reference SEM.py:170-245, ConvectionDiffusion_Solver.py:82-87,
+NavierStokes_Solver.py:103-111).  Here nothing is ever assembled:
+
+* **Linear operators** (mass, stiffness, gradients) exploit the global
+  tensor-product factorization.  With a field in grid form ``U (Ngx, Ngy)``:
+
+  - mass:       ``(M u)   = m1x[:,None] * U * m1y[None,:]``           (diagonal)
+  - stiffness:  ``(K u)   = (K1x @ U) * m1y + m1x[:,None] * (U @ K1y.T)``
+  - gradient-x: ``(Gx p)  = (G1x @ U) * m1y``
+  - gradient-y: ``(Gy p)  = m1x[:,None] * (U @ G1y.T)``
+
+  Each is one or two dense (Ngx×Ngx)/(Ngy×Ngy) matmuls over the whole grid —
+  large, static-shaped MXU work with zero gather/scatter traffic.
+
+* **Convection** (the trilinear term) cannot factorize through the product
+  nonlinearity, so it uses the classical element path: gather to element form
+  ``(N_e, P+1, P+1)``, batched sum-factorization contractions with the 1D
+  differentiation matrix, then a C0 scatter-add (``segment_sum``) — the
+  matrix-free equivalent of contracting the reference's global rank-3 COO
+  tensors (reference SEM.py:226-245).  Per element::
+
+      conv(u,v,w)ᵢⱼ = ŵᵢŵⱼ [ (dy/2)·uᵢⱼ·(D̂ w)ᵢⱼ + (dx/2)·vᵢⱼ·(w D̂ᵀ)ᵢⱼ ]
+
+  and the Jacobian of the convection term with respect to the *velocity* slot
+  is globally **diagonal** (the reference's axis-2 tensordots,
+  ConvectionDiffusion_Solver.py:101-102): ``conv_diag_x/y`` return that
+  diagonal as a vector.
+
+All functions take the ``Grid2D`` as a static jit argument; its NumPy
+constants are cast to the field dtype at trace time, so the same code path
+serves float64 correctness runs and float32/bfloat16 speed runs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sem_tpu.mesh import Grid2D
+
+__all__ = [
+    "gather", "scatter_sum", "grid_form", "flat_form",
+    "apply_mass", "apply_stiffness", "apply_grad_x", "apply_grad_y",
+    "apply_convection", "conv_diag_x", "conv_diag_y",
+]
+
+
+def grid_form(grid: Grid2D, u: jax.Array) -> jax.Array:
+    """Reshape a flat global vector ``(N,)`` to grid form ``(Ngx, Ngy)``."""
+    return u.reshape(grid.Ngx, grid.Ngy)
+
+
+def flat_form(u: jax.Array) -> jax.Array:
+    """Reshape a grid-form field back to a flat global vector."""
+    return u.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def gather(grid: Grid2D, u: jax.Array) -> jax.Array:
+    """Global vector → element coefficient array ``(N_e, P+1, P+1)``.
+
+    The vectorized equivalent of the reference's quadruple-loop ``scatter``
+    (reference SEM.py:149-167 — note the reference names the gather
+    direction 'scatter').
+    """
+    return u.reshape(-1)[grid.gidx]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def scatter_sum(grid: Grid2D, u_e: jax.Array) -> jax.Array:
+    """Element array ``(N_e, P+1, P+1)`` → global vector by duplicate-sum.
+
+    The C0 Galerkin assembly: contributions of all elements sharing a global
+    node are summed — the matrix-free equivalent of the COO duplicate-sum
+    assembly of reference SEM.py:113-146.  Under a sharded element batch this
+    lowers to a segment-sum plus an XLA collective over the device mesh.
+    """
+    return jax.ops.segment_sum(
+        u_e.reshape(-1),
+        jnp.asarray(grid.gidx_flat),
+        num_segments=grid.N,
+    )
+
+
+def _c(grid: Grid2D, name: str, dtype):
+    """Grid constant as a jnp array of the compute dtype (trace-time cast)."""
+    return jnp.asarray(getattr(grid, name).astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def apply_mass(grid: Grid2D, u: jax.Array) -> jax.Array:
+    """Global mass operator (diagonal) — parity with reference SEM.py:170-183."""
+    U = grid_form(grid, u)
+    m1x = _c(grid, "m1x", u.dtype)
+    m1y = _c(grid, "m1y", u.dtype)
+    return flat_form(m1x[:, None] * U * m1y[None, :])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def apply_stiffness(grid: Grid2D, u: jax.Array) -> jax.Array:
+    """Global stiffness (2D Laplacian) — parity with reference SEM.py:186-203.
+
+    ``K = K1x ⊗ diag(m1y) + diag(m1x) ⊗ K1y`` applied as two dense matmuls.
+    """
+    U = grid_form(grid, u)
+    K1x = _c(grid, "K1x", u.dtype)
+    K1y = _c(grid, "K1y", u.dtype)
+    m1x = _c(grid, "m1x", u.dtype)
+    m1y = _c(grid, "m1y", u.dtype)
+    KU = jnp.matmul(K1x, U, preferred_element_type=u.dtype) * m1y[None, :]
+    UK = jnp.matmul(U, K1y.T, preferred_element_type=u.dtype) * m1x[:, None]
+    return flat_form(KU + UK)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def apply_grad_x(grid: Grid2D, p: jax.Array) -> jax.Array:
+    """Global weak x-derivative ``Gx = G1x ⊗ diag(m1y)``.
+
+    Parity with reference SEM.py:206-223 (``G_x``; the 2/dx derivative metric
+    cancels the dx/2 quadrature metric, cf. reference SEM.py:221).
+    """
+    U = grid_form(grid, p)
+    G1x = _c(grid, "G1x", p.dtype)
+    m1y = _c(grid, "m1y", p.dtype)
+    return flat_form(jnp.matmul(G1x, U, preferred_element_type=p.dtype) * m1y[None, :])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def apply_grad_y(grid: Grid2D, p: jax.Array) -> jax.Array:
+    """Global weak y-derivative ``Gy = diag(m1x) ⊗ G1y`` (reference SEM.py:222)."""
+    U = grid_form(grid, p)
+    G1y = _c(grid, "G1y", p.dtype)
+    m1x = _c(grid, "m1x", p.dtype)
+    return flat_form(jnp.matmul(U, G1y.T, preferred_element_type=p.dtype) * m1x[:, None])
+
+
+def _elem_dx(grid: Grid2D, w_e: jax.Array) -> jax.Array:
+    """Batched ξ-derivative along x within each element: (D̂ w)ᵢⱼ."""
+    D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
+    return jnp.einsum("ik,ekj->eij", D, w_e, preferred_element_type=w_e.dtype)
+
+
+def _elem_dy(grid: Grid2D, w_e: jax.Array) -> jax.Array:
+    """Batched ξ-derivative along y within each element: (w D̂ᵀ)ᵢⱼ."""
+    D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
+    return jnp.einsum("jl,eil->eij", D, w_e, preferred_element_type=w_e.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def apply_convection(grid: Grid2D, u: jax.Array, v: jax.Array,
+                     w: jax.Array) -> jax.Array:
+    """Apply the assembled convection operator ``(u@Cx + v@Cy) w``.
+
+    Matrix-free equivalent of the reference's left-slot rank-3 tensordots
+    (reference ConvectionDiffusion_Solver.py:82-83,
+    NavierStokes_Solver.py:103-104) — the 3-tensor is never materialized.
+    """
+    u_e = gather(grid, u)
+    v_e = gather(grid, v)
+    w_e = gather(grid, w)
+    wq = jnp.asarray(grid.wq2d.astype(w.dtype))
+    half_dx = jnp.asarray(grid.dx / 2, dtype=w.dtype)
+    half_dy = jnp.asarray(grid.dy / 2, dtype=w.dtype)
+    t = wq[None] * (half_dy * u_e * _elem_dx(grid, w_e)
+                    + half_dx * v_e * _elem_dy(grid, w_e))
+    return scatter_sum(grid, t)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def conv_diag_x(grid: Grid2D, f: jax.Array) -> jax.Array:
+    """Diagonal (as a vector) of the global operator ``Cx @ f`` (right slot).
+
+    Matrix-free equivalent of ``tensordot(C_x, f, (2,0))`` (reference
+    ConvectionDiffusion_Solver.py:101, NavierStokes_Solver.py:131-136): the
+    result is globally diagonal because the left two tensor slots coincide on
+    the same nodal point; the diagonal value at a global node is the C0 sum of
+    ``ŵᵢŵⱼ (dy/2) (D̂ f)ᵢⱼ`` over the elements sharing it.
+    """
+    f_e = gather(grid, f)
+    wq = jnp.asarray(grid.wq2d.astype(f.dtype))
+    half_dy = jnp.asarray(grid.dy / 2, dtype=f.dtype)
+    return scatter_sum(grid, wq[None] * half_dy * _elem_dx(grid, f_e))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def conv_diag_y(grid: Grid2D, f: jax.Array) -> jax.Array:
+    """Diagonal (as a vector) of the global operator ``Cy @ f`` (right slot)."""
+    f_e = gather(grid, f)
+    wq = jnp.asarray(grid.wq2d.astype(f.dtype))
+    half_dx = jnp.asarray(grid.dx / 2, dtype=f.dtype)
+    return scatter_sum(grid, wq[None] * half_dx * _elem_dy(grid, f_e))
