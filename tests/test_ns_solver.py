@@ -1,0 +1,98 @@
+"""Navier-Stokes solver tests: tangent consistency, small lid-driven cavity
+vs the Ghia benchmark, Stokes/zero-forcing sanity (SURVEY.md §7.2 step 6)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sem_tpu import NavierStokesSolver
+from sem_tpu import operators as ops
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def ns_small():
+    return NavierStokesSolver(1.0, 1.0, Re=50.0, Gr=10.0, P=3, N_ex=3, N_ey=3,
+                              u_N=1.0, mtol=1e-10, mtol_newton=1e-9,
+                              iprint=[])
+
+
+def test_ns_tangent_consistency(ns_small):
+    """_get_dresiduals is the exact Jacobian-vector product of _get_residuals."""
+    ns = ns_small
+    N = ns.N
+    u, v, p, T = (RNG.standard_normal(N) * 0.2 for _ in range(4))
+    du, dv, dp, dT = (RNG.standard_normal(N) for _ in range(4))
+
+    r0 = [np.asarray(r) for r in ns._get_residuals(u, v, p, T)]
+    ns._calc_jacobians(u, v)
+    dres = [np.asarray(r) for r in ns._get_dresiduals(du, dv, dp, dT)]
+
+    eps = 1e-7
+    r1 = [np.asarray(r) for r in ns._get_residuals(
+        u + eps * du, v + eps * dv, p + eps * dp, T + eps * dT)]
+    for got, a, b in zip(dres, r1, r0):
+        fd = (a - b) / eps
+        np.testing.assert_allclose(got, fd, rtol=2e-5, atol=2e-5)
+
+
+def test_ns_zero_forcing_zero_solution():
+    """No lid motion, no buoyancy: (u,v,p)=0 satisfies everything."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=10.0, Gr=0.0, P=3, N_ex=2, N_ey=2,
+                            mtol=1e-12, mtol_newton=1e-10, iprint=[])
+    u, v, p = ns._get_solution(jnp.zeros(ns.N))
+    np.testing.assert_allclose(np.asarray(u), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p), 0.0, atol=1e-7)
+    assert ns._k == 0  # converged without any Newton step
+
+
+def test_ns_update_solves_tangent_system(ns_small):
+    """The Uzawa update really inverts the masked coupled Jacobian."""
+    ns = ns_small
+    N = ns.N
+    u, v, p, T = (RNG.standard_normal(N) * 0.1 for _ in range(4))
+    ns._get_residuals(u, v, p, T)
+    ns._calc_jacobians(u, v)
+    bu, bv, bc = (RNG.standard_normal(N) for _ in range(3))
+    du, dv, dp = ns._get_update(bu, bv, bc)
+    ru, rv, rc = [np.asarray(r) for r in ns._get_dresiduals(du, dv, dp)]
+    scale = np.sqrt(N)
+    assert np.linalg.norm(ru - bu) / scale < 1e-7
+    assert np.linalg.norm(rv - bv) / scale < 1e-7
+    assert np.linalg.norm(rc - bc) / scale < 1e-6
+
+
+def test_ns_lid_driven_divergence_free():
+    """Lid-driven Re=10: interior weak divergence vanishes at the solution."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=10.0, Gr=0.0, P=4, N_ex=4, N_ey=4,
+                            u_N=1.0, mtol=1e-11, mtol_newton=1e-10, iprint=[])
+    u, v, p = ns._get_solution(jnp.zeros(ns.N))
+    div = np.asarray(ops.apply_grad_x(ns.grid, u)
+                     + ops.apply_grad_y(ns.grid, v))
+    # continuity is enforced at interior nodes except the pressure-pin node
+    # (whose row is replaced by the pin constraint, reference :116)
+    interior = ~np.asarray(ns._mask_bound) & ~np.asarray(ns._mask_pin)
+    assert np.max(np.abs(div[interior])) < 1e-9
+    # BCs: u=1 on lid, zero elsewhere on walls
+    lid = ns.grid.side_mask("N")
+    np.testing.assert_allclose(np.asarray(u)[lid], 1.0, atol=1e-12)
+    walls = np.asarray(ns._mask_bound) & ~lid
+    np.testing.assert_allclose(np.asarray(u)[walls], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v)[np.asarray(ns._mask_bound)], 0.0,
+                               atol=1e-12)
+
+
+@pytest.mark.slow
+def test_ns_ghia_re100():
+    """Lid cavity Re=100 at P=4, 8×8 matches the Ghia table to ~1e-3."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=100.0, Gr=0.0, P=4, N_ex=8, N_ey=8,
+                            u_N=1.0, iprint=[])
+    x_plot, y_plot = np.meshgrid(np.full(41, 0.5), np.linspace(0, 1, 41),
+                                 indexing="ij")
+    u_plot, _, _ = ns.run(lambda x, y: 0 * x, (x_plot, y_plot))
+    ghia_y = np.array([0.0547, 0.1016, 0.2813, 0.4531, 0.5000, 0.7344])
+    ghia_u = np.array([-0.03717, -0.06434, -0.15662, -0.21090, -0.20581,
+                       0.00332])
+    u_line = np.interp(ghia_y, y_plot[0], u_plot[0])
+    assert np.max(np.abs(u_line - ghia_u)) < 5e-3
