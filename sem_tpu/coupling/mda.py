@@ -1,0 +1,293 @@
+"""MDA engine: nonlinear block-Gauss-Seidel / Newton-block-Jacobi /
+block-Jacobi-preconditioned Newton-Krylov for the Boussinesq coupling.
+
+Re-implements, as ~300 lines of explicit algorithm, the three coupling modes
+the reference drives through (locally patched) OpenMDAO solvers
+(reference Boussinesq_SequentialCoupler.py:75-93; the vendored-patch
+dependency is documented in SURVEY.md §2.3 — these algorithms are owned
+outright here):
+
+* ``'GS'``  — nonlinear block Gauss-Seidel with post-sweep ``apply_nonlinear``
+  residual evaluation (the reference's ``use_apply_nonlinear=True``),
+  maxiter 1000;
+* ``'NJ'``  — Newton-block-Jacobi: Newton whose linear solve is ONE linear
+  block-Jacobi sweep (each discipline inverts its own Jacobian block,
+  cross-blocks dropped), safeguarded by an Armijo-Goldstein backtracking
+  line search (reference AGi/AGr/AGc parameters);
+* ``'JNK'`` — block-Jacobi-preconditioned Newton-Krylov: Newton with the
+  coupled linear system solved by *flexible* GMRES, preconditioned by one
+  block-Jacobi sweep (each application = the disciplines' own accurate
+  linear solves, like the reference's ``LinearBlockJac`` preconditioner of
+  ``PETScKrylov``/``ScipyKrylov``).
+
+Both Newton modes start with one Gauss-Seidel sweep, mirroring OpenMDAO's
+``NewtonSolver(solve_subsystems=True, max_sub_solves=0)`` which runs the
+subsystem solves on iteration 0 only (reference :80-82).
+
+The coupled Krylov loop runs at the host level in NumPy — each of its
+callbacks (residuals, Jacobian-vector products, block solves) is a jitted
+on-device operation; FGMRES is used (instead of the reference's left-
+preconditioned GMRES) because the block-Jacobi preconditioner contains inner
+Krylov solves and flexible GMRES is robust to such slightly-nonlinear
+preconditioning.
+
+Tolerances follow the reference's RMS convention: absolute tolerance =
+mtol·√DOF with DOF = 3·N_ns + N_cd (reference :61-63).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import numpy as np
+import jax.numpy as jnp
+
+from sem_tpu.coupling.components import (ConvectionDiffusionComponent,
+                                         NavierStokesComponent)
+
+__all__ = ["BoussinesqMDA", "MDAStats", "CoupledState"]
+
+
+@dataclasses.dataclass
+class MDAStats:
+    """Iteration counters, mirroring the reference study's de-facto benchmark
+    ``[cd_linear_solves, ns_linear_solves, nonlinear_iters]``
+    (reference study/Boussinesq_run.py:114-128)."""
+
+    cd_solves: int = 0
+    ns_solves: int = 0
+    nonlinear_iters: int = 0
+    gmres_iters: int = 0
+
+    def as_list(self):
+        return [self.cd_solves, self.ns_solves, self.nonlinear_iters]
+
+
+@dataclasses.dataclass
+class CoupledState:
+    T: jnp.ndarray   # CD temperature   (N_cd,)
+    u: jnp.ndarray   # NS x-velocity    (N_ns,)
+    v: jnp.ndarray   # NS y-velocity    (N_ns,)
+    p: jnp.ndarray   # NS pressure      (N_ns,)
+
+    def copy(self):
+        return CoupledState(self.T, self.u, self.v, self.p)
+
+
+def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
+    """Host-level flexible GMRES (NumPy orchestration, jitted callbacks)."""
+    n = b.shape[0]
+    x = np.zeros(n)
+    it = 0
+    normb = np.linalg.norm(b)
+    if normb <= atol:
+        return x, 0, True
+    while it < maxiter:
+        r = b - matvec(x)
+        beta = np.linalg.norm(r)
+        if beta <= atol:
+            return x, it, True
+        m = restart
+        V = np.zeros((m + 1, n))
+        Z = np.zeros((m, n))
+        H = np.zeros((m + 1, m))
+        V[0] = r / beta
+        g = np.zeros(m + 1)
+        g[0] = beta
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        k_used = 0
+        for k in range(m):
+            Z[k] = precon(V[k])
+            w = matvec(Z[k])
+            for j in range(k + 1):
+                H[j, k] = V[j] @ w
+                w = w - H[j, k] * V[j]
+            H[k + 1, k] = np.linalg.norm(w)
+            if H[k + 1, k] > 1e-300:
+                V[k + 1] = w / H[k + 1, k]
+            for j in range(k):
+                t1 = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
+                t2 = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
+                H[j, k], H[j + 1, k] = t1, t2
+            d = np.hypot(H[k, k], H[k + 1, k])
+            cs[k], sn[k] = (H[k, k] / d, H[k + 1, k] / d) if d > 0 else (1, 0)
+            H[k, k] = d
+            H[k + 1, k] = 0.0
+            g[k + 1] = -sn[k] * g[k]
+            g[k] = cs[k] * g[k]
+            it += 1
+            k_used = k + 1
+            res = abs(g[k + 1])
+            if callback is not None:
+                callback(it, res)
+            if res <= atol or it >= maxiter:
+                break
+        y = np.linalg.solve(np.triu(H[:k_used, :k_used]), g[:k_used])
+        x = x + Z[:k_used].T @ y
+        if abs(g[k_used]) <= atol:
+            return x, it, True
+    return x, it, False
+
+
+class BoussinesqMDA:
+    """Coupled CD↔NS (Boussinesq) multidisciplinary solver.
+
+    :param cd_comp / ns_comp: the two discipline components
+    :param mode: 'GS' | 'NJ' | 'JNK'
+    :param mtol_nonlin: RMS tolerance of the coupled nonlinear residual
+    :param AGi/AGr/AGc: Armijo-Goldstein line-search max iterations /
+        contraction factor / slope factor (NJ mode; reference :14)
+    :param mtol_gmres: RMS tolerance of the coupled Krylov solve (JNK)
+    :param restart: coupled GMRES restart (JNK)
+    :param maxiter: nonlinear iteration cap (reference: 1000 for GS/NJ,
+        100 for JNK)
+    :param iprint: True ⇒ per-iteration residual lines (OpenMDAO iprint=2
+        analog)
+    """
+
+    def __init__(self, cd_comp: ConvectionDiffusionComponent,
+                 ns_comp: NavierStokesComponent, mode: str = "JNK",
+                 mtol_nonlin: float = 1e-9,
+                 AGi: int = 8, AGr: float = 0.8, AGc: float = 0.2,
+                 mtol_gmres: float = 1e-10, restart: int = 20,
+                 maxiter: int = None, gmres_maxiter: int = 5000,
+                 iprint: bool = True):
+        if mode not in ("GS", "NJ", "JNK"):
+            raise ValueError("Unknown method")  # parity: reference :93
+        self.cd_comp = cd_comp
+        self.ns_comp = ns_comp
+        self.mode = mode
+        self.N_cd = cd_comp.cd.N
+        self.N_ns = ns_comp.ns.N
+        self.DOF = 3 * self.N_ns + self.N_cd  # T,u,v,p (reference :61)
+        self.atol_nonlin = mtol_nonlin * np.sqrt(self.DOF)
+        self.atol_gmres = mtol_gmres * np.sqrt(self.DOF)
+        self.AGi, self.AGr, self.AGc = AGi, AGr, AGc
+        self.restart = restart
+        self.gmres_maxiter = gmres_maxiter
+        self.maxiter = maxiter if maxiter is not None else (
+            100 if mode == "JNK" else 1000)
+        self.iprint = iprint
+        self.stats = MDAStats()
+
+    # ------------------------- plumbing ------------------------- #
+    def _pack(self, rT, ru, rv, rp):
+        return np.concatenate([np.asarray(rT), np.asarray(ru),
+                               np.asarray(rv), np.asarray(rp)])
+
+    def _unpack(self, x):
+        Ncd, Nns = self.N_cd, self.N_ns
+        return (jnp.asarray(x[:Ncd]), jnp.asarray(x[Ncd:Ncd + Nns]),
+                jnp.asarray(x[Ncd + Nns:Ncd + 2 * Nns]),
+                jnp.asarray(x[Ncd + 2 * Nns:]))
+
+    def _residuals(self, s: CoupledState) -> np.ndarray:
+        rT = self.cd_comp.apply_nonlinear(s.T, s.u, s.v)
+        ru, rv, rp = self.ns_comp.apply_nonlinear(s.u, s.v, s.p, s.T)
+        return self._pack(rT, ru, rv, rp)
+
+    def _linearize(self, s: CoupledState):
+        self.cd_comp.linearize(s.T)
+        self.ns_comp.linearize(s.u, s.v)
+
+    def _apply_linear(self, dx: np.ndarray) -> np.ndarray:
+        dT, du, dv, dp = self._unpack(dx)
+        drT = self.cd_comp.apply_linear(dT, du, dv)
+        dru, drv, drp = self.ns_comp.apply_linear(du, dv, dp, dT)
+        return self._pack(drT, dru, drv, drp)
+
+    def _block_jacobi(self, r: np.ndarray) -> np.ndarray:
+        """One linear block-Jacobi sweep: each discipline inverts its own
+        Jacobian block (the reference's LinearBlockJac(maxiter=1))."""
+        rT, ru, rv, rp = self._unpack(r)
+        dT = self.cd_comp.solve_linear(rT)
+        du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp)
+        return self._pack(dT, du, dv, dp)
+
+    def _gs_sweep(self, s: CoupledState) -> CoupledState:
+        """One nonlinear Gauss-Seidel sweep: CD first, then NS (the
+        reference's component ordering, reference :70-71)."""
+        T = self.cd_comp.solve_nonlinear(s.u, s.v, T0=s.T)
+        u, v, p = self.ns_comp.solve_nonlinear(T, u0=s.u, v0=s.v, p0=s.p)
+        return CoupledState(T, u, v, p)
+
+    def _print(self, tag, k, norm):
+        if self.iprint:
+            print(f"Boussinesq {tag}: {k}\t{norm}")
+
+    # --------------------------- modes --------------------------- #
+    def solve(self, s0: CoupledState = None) -> CoupledState:
+        zcd = jnp.zeros(self.N_cd)
+        zns = jnp.zeros(self.N_ns)
+        s = s0.copy() if s0 is not None else CoupledState(zcd, zns, zns, zns)
+        self.stats = MDAStats()
+
+        if self.mode == "GS":
+            s = self._solve_gs(s)
+        elif self.mode == "NJ":
+            s = self._solve_newton(s, krylov=False)
+        else:  # JNK
+            s = self._solve_newton(s, krylov=True)
+
+        self.stats.cd_solves = self.cd_comp.iter_count_solve
+        self.stats.ns_solves = self.ns_comp.iter_count_solve
+        return s
+
+    def _solve_gs(self, s: CoupledState) -> CoupledState:
+        for k in range(1, self.maxiter + 1):
+            s = self._gs_sweep(s)
+            norm = np.linalg.norm(self._residuals(s))
+            self._print("GS", k, norm)
+            self.stats.nonlinear_iters = k
+            if norm <= self.atol_nonlin:
+                return s
+        raise RuntimeError(
+            f"Boussinesq GS: no convergence in {self.maxiter} iterations")
+
+    def _solve_newton(self, s: CoupledState, krylov: bool) -> CoupledState:
+        # iteration-0 subsystem solve (solve_subsystems=True, max_sub_solves=0)
+        s = self._gs_sweep(s)
+        F = self._residuals(s)
+        norm = np.linalg.norm(F)
+        for k in range(1, self.maxiter + 1):
+            self._print("NEWTON", k - 1, norm)
+            if norm <= self.atol_nonlin:
+                self.stats.nonlinear_iters = k - 1
+                return s
+            self._linearize(s)
+            if krylov:
+                dx, iters, ok = _fgmres(
+                    self._apply_linear, self._block_jacobi, -F,
+                    atol=self.atol_gmres, restart=self.restart,
+                    maxiter=self.gmres_maxiter,
+                    callback=(lambda it, res: print(
+                        f"   JNK GMRES: {it}\t{res}") if self.iprint else None))
+                self.stats.gmres_iters += iters
+                if not ok:
+                    raise RuntimeError(
+                        f"Boussinesq JNK GMRES: no convergence in {iters} "
+                        f"iterations")
+            else:
+                dx = self._block_jacobi(-F)
+
+            # Armijo-Goldstein backtracking (NJ mode; JNK takes full steps —
+            # the reference attaches the line search only in NJ, :83-85)
+            alpha = 1.0
+            s_new, F_new, norm_new = self._try_step(s, dx, alpha)
+            if not krylov:
+                ls = 0
+                while (norm_new > (1.0 - self.AGc * alpha) * norm
+                       and ls < self.AGi):
+                    alpha *= self.AGr
+                    s_new, F_new, norm_new = self._try_step(s, dx, alpha)
+                    ls += 1
+            s, F, norm = s_new, F_new, norm_new
+        raise RuntimeError(
+            f"Boussinesq NEWTON: no convergence in {self.maxiter} iterations")
+
+    def _try_step(self, s, dx, alpha):
+        dT, du, dv, dp = self._unpack(alpha * dx)
+        s_new = CoupledState(s.T + dT, s.u + du, s.v + dv, s.p + dp)
+        F_new = self._residuals(s_new)
+        return s_new, F_new, np.linalg.norm(F_new)

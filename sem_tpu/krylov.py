@@ -37,7 +37,11 @@ class KrylovInfo(NamedTuple):
 
     converged: jax.Array   # bool
     iterations: jax.Array  # int32: number of operator applications
-    resnorm: jax.Array     # final (estimated) residual 2-norm
+    resnorm: jax.Array     # final true residual 2-norm
+    stalled: jax.Array     # bool: stagnated at a roundoff plateau (no
+    #                        progress over a full restart cycle) before
+    #                        reaching atol — common when atol is set below
+    #                        the f64 noise floor of a nested/inexact operator
 
 
 def _identity(x):
@@ -82,15 +86,15 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
     x, V, H, cs, sn, g, beta0 = new_cycle(x0)
 
-    # State: (x, V, H, cs, sn, g, k, it, res, done)
+    # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled)
     state = (x, V, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
-             beta0 <= atol)
+             beta0 <= atol, beta0, jnp.asarray(False))
 
     def cond(state):
-        return ~state[-1]
+        return ~state[9]
 
     def body(state):
-        x, V, H, cs, sn, g, k, it, res, done = state
+        x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled = state
 
         w = matvec(precon(V[k]))
         # masked modified Gram-Schmidt against V[0..k]
@@ -140,17 +144,24 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
             dx = precon(V[:m].T @ y)
             x_new = x + dx
             xn, Vn, Hn, csn, snn, gn, beta = new_cycle(x_new)
-            # recompute the true residual at cycle end; use it for the test
-            done_new = (beta <= atol) | (it >= maxiter)
-            return xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta, done_new
+            # recompute the true residual at cycle end; use it for the test.
+            # stagnation: a full restart cycle improved the true residual by
+            # < 10% — a roundoff plateau; further cycles cannot help
+            stall_new = (beta > atol) & (beta > 0.9 * cycle_res) & (kk >= m)
+            done_new = (beta <= atol) | (it >= maxiter) | stall_new
+            return (xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
+                    done_new, beta, stall_new)
 
         def cont(_):
-            return x, V, H, cs, sn, g, k + 1, it, res, done
+            return (x, V, H, cs, sn, g, k + 1, it, res, done, cycle_res,
+                    stalled)
 
         return lax.cond(end_cycle, finish, cont, None)
 
-    x, V, H, cs, sn, g, k, it, res, done = lax.while_loop(cond, body, state)
-    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res)
+    state = lax.while_loop(cond, body, state)
+    x, it, res, stalled = state[0], state[7], state[8], state[11]
+    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
+                         stalled=stalled)
 
 
 def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
@@ -190,4 +201,5 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
     x, r, z, p, rz, it = lax.while_loop(cond, body, state)
     res = jnp.linalg.norm(r)
-    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res)
+    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
+                         stalled=jnp.asarray(False))

@@ -35,6 +35,7 @@ from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
 from sem_tpu.krylov import gmres
 from sem_tpu.mesh import Grid2D
+from sem_tpu.parallel.sharding import place
 
 __all__ = ["ConvectionDiffusionSolver"]
 
@@ -127,11 +128,18 @@ class ConvectionDiffusionSolver:
             return (Pe * ops.conv_diag_x(grid, T),
                     Pe * ops.conv_diag_y(grid, T))
 
+        eps = float(np.finfo(np.dtype(self._dtype)).eps)
+
         def update(drhs, u, v, dT0):
             mv = lambda dT: dres(dT, u, v, jnp.zeros_like(drhs),
                                  jnp.zeros_like(drhs),
                                  jnp.zeros_like(drhs), jnp.zeros_like(drhs))
-            return gmres(mv, drhs, x0=dT0, atol=atol, restart=restart,
+            # convergence floor: absolute RMS tolerance or mtol relative to
+            # the RHS scale (absolute targets below roundoff are unreachable)
+            atol_eff = jnp.maximum(jnp.asarray(atol, drhs.dtype),
+                                   jnp.maximum(self._mtol, 50 * eps)
+                                   * jnp.linalg.norm(drhs))
+            return gmres(mv, drhs, x0=dT0, atol=atol_eff, restart=restart,
                          maxiter=maxiter, precon=fdm)
 
         self._residual_jit = jax.jit(residual)
@@ -142,13 +150,13 @@ class ConvectionDiffusionSolver:
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, T, u, v):
         """Residual of the masked system (parity: reference :73-92)."""
-        self._u = jnp.asarray(u, self._dtype)
-        self._v = jnp.asarray(v, self._dtype)
-        return self._residual_jit(jnp.asarray(T, self._dtype), self._u, self._v)
+        self._u = place(u, self._dtype)
+        self._v = place(v, self._dtype)
+        return self._residual_jit(place(T, self._dtype), self._u, self._v)
 
     def _calc_jacobians(self, T):
         """Precompute ∂res/∂(u,v) diagonals (parity: reference :94-102)."""
-        jdu, jdv = self._jac_diags_jit(jnp.asarray(T, self._dtype))
+        jdu, jdv = self._jac_diags_jit(place(T, self._dtype))
         self._jac_diag_u = jdu
         self._jac_diag_v = jdv
 
@@ -157,9 +165,9 @@ class ConvectionDiffusionSolver:
         z = jnp.zeros(self.N, self._dtype)
         jdu = self._jac_diag_u if du is not None else z
         jdv = self._jac_diag_v if dv is not None else z
-        du = z if du is None else jnp.asarray(du, self._dtype)
-        dv = z if dv is None else jnp.asarray(dv, self._dtype)
-        return self._dres_jit(jnp.asarray(dT, self._dtype), self._u, self._v,
+        du = z if du is None else place(du, self._dtype)
+        dv = z if dv is None else place(dv, self._dtype)
+        return self._dres_jit(place(dT, self._dtype), self._u, self._v,
                               jdu, jdv, du, dv)
 
     def _get_update(self, dres, dT0=None):
@@ -168,14 +176,18 @@ class ConvectionDiffusionSolver:
         GMRES with FDM right preconditioning; raises RuntimeError on
         non-convergence like the reference (:149-150).
         """
-        dT0 = None if dT0 is None else jnp.asarray(dT0, self._dtype)
-        dT, info = self._update_jit(jnp.asarray(dres, self._dtype),
+        dT0 = None if dT0 is None else place(dT0, self._dtype)
+        dT, info = self._update_jit(place(dres, self._dtype),
                                     self._u, self._v,
                                     jnp.zeros(self.N, self._dtype)
                                     if dT0 is None else dT0)
         self.last_info = info
         self.iter_count_solve += 1
-        if not bool(info.converged):
+        # accept roundoff-stalled solves that gained >= 6 digits
+        acceptable_stall = bool(info.stalled) and (
+            float(info.resnorm)
+            <= 1e-6 * max(float(jnp.linalg.norm(jnp.asarray(dres))), 1e-300))
+        if not bool(info.converged) and not acceptable_stall:
             raise RuntimeError(
                 f"ConvectionDiffusion GMRES: failed to converge in "
                 f"{int(info.iterations)} iterations (resnorm "
@@ -189,7 +201,7 @@ class ConvectionDiffusionSolver:
     def _get_solution(self, u, v, T0=None):
         """Single Newton step — the problem is linear in T (reference :158-170)."""
         T = (jnp.zeros(self.N, self._dtype) if T0 is None
-             else jnp.asarray(T0, self._dtype))
+             else place(T0, self._dtype))
         res = self._get_residuals(T, u, v)
         dT = self._get_update(-res)
         return T + dT
@@ -200,7 +212,7 @@ class ConvectionDiffusionSolver:
 
     def _get_interpol(self, f, points_plot) -> np.ndarray:
         """Evaluate the SEM interpolant at plot points (reference :180-188)."""
-        return PointEvaluator(self.grid, points_plot)(jnp.asarray(f, self._dtype))
+        return PointEvaluator(self.grid, points_plot)(place(f, self._dtype))
 
     def run(self, u_func, v_func, points_plot) -> np.ndarray:
         """End-to-end solve: velocities → T at plot points (reference :190-203)."""

@@ -46,6 +46,7 @@ from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
 from sem_tpu.krylov import gmres
 from sem_tpu.mesh import Grid2D
+from sem_tpu.parallel.sharding import place
 
 __all__ = ["NavierStokesSolver"]
 
@@ -195,7 +196,7 @@ class NavierStokesSolver:
                 return jnp.concatenate([fdm(q[:N]), fdm(q[N:])])
 
             atol = jnp.maximum(jnp.asarray(atol_velo_abs, dtype),
-                               100 * eps * jnp.linalg.norm(b))
+                               10 * eps * jnp.linalg.norm(b))
             return gmres(mv, b, x0=q0, atol=atol,
                          restart=self._restart_velo,
                          maxiter=self._maxiter_velo, precon=pc)
@@ -220,8 +221,15 @@ class NavierStokesSolver:
                                   jnp.zeros(2 * N, dtype))
                 return dres(-f[:N], -f[N:], dp, zero(), u_lin, v_lin, jac)[2]
 
+            # convergence floor: the absolute RMS tolerance (reference :223)
+            # or mtol relative to the RHS scale, whichever is larger — the
+            # Schur matvec contains nested velocity solves whose f64 noise
+            # makes absolute targets below roundoff·||b|| unreachable
+            atol_eff = jnp.maximum(jnp.asarray(atol_schur, dtype),
+                                   jnp.maximum(self._mtol, 50 * eps)
+                                   * jnp.linalg.norm(b_schur))
             dp, schur_info = gmres(schur_mv, b_schur, x0=dp0,
-                                   atol=atol_schur, restart=self._restart,
+                                   atol=atol_eff, restart=self._restart,
                                    maxiter=self._maxiter, precon=precon_schur)
 
             # velocity back-substitution (reference :232-235)
@@ -238,41 +246,50 @@ class NavierStokesSolver:
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, u, v, p, T):
         """Momentum + continuity residuals (reference :93-121)."""
-        u = jnp.asarray(u, self._dtype)
-        v = jnp.asarray(v, self._dtype)
+        u = place(u, self._dtype)
+        v = place(v, self._dtype)
         self._u_lin, self._v_lin = u, v  # 'Sys' statefulness (reference :106)
-        return self._residual_jit(u, v, jnp.asarray(p, self._dtype),
-                                  jnp.asarray(T, self._dtype))
+        return self._residual_jit(u, v, place(p, self._dtype),
+                                  place(T, self._dtype))
 
     def _calc_jacobians(self, u, v):
         """Precompute the convection Jacobian diagonals (reference :123-136)."""
-        u = jnp.asarray(u, self._dtype)
-        v = jnp.asarray(v, self._dtype)
+        u = place(u, self._dtype)
+        v = place(v, self._dtype)
         self._u_lin, self._v_lin = u, v
         self._jac = self._jac_diags_jit(u, v)
 
     def _get_dresiduals(self, du, dv, dp, dT=None):
         """Tangent residuals with the stored linearization (reference :138-160)."""
         z = jnp.zeros(self.N, self._dtype)
-        dT = z if dT is None else jnp.asarray(dT, self._dtype)
-        return self._dres_jit(jnp.asarray(du, self._dtype),
-                              jnp.asarray(dv, self._dtype),
-                              jnp.asarray(dp, self._dtype), dT,
+        dT = z if dT is None else place(dT, self._dtype)
+        return self._dres_jit(place(du, self._dtype),
+                              place(dv, self._dtype),
+                              place(dp, self._dtype), dT,
                               self._u_lin, self._v_lin, self._jac)
 
     def _get_update(self, dres_u, dres_v, dres_cont,
                     du0=None, dv0=None, dp0=None):
         """Uzawa/pressure-Schur solve for (du, dv, dp) (reference :162-236)."""
         dp0 = (jnp.zeros(self.N, self._dtype) if dp0 is None
-               else jnp.asarray(dp0, self._dtype))
+               else place(dp0, self._dtype))
         du, dv, dp, schur_info, velo_info = self._update_jit(
-            jnp.asarray(dres_u, self._dtype), jnp.asarray(dres_v, self._dtype),
-            jnp.asarray(dres_cont, self._dtype),
+            place(dres_u, self._dtype), place(dres_v, self._dtype),
+            place(dres_cont, self._dtype),
             self._u_lin, self._v_lin, self._jac, dp0)
         self.last_schur_info = schur_info
         self.last_velo_info = velo_info
         self.iter_count_solve += 1
-        if not bool(schur_info.converged):
+        # accept roundoff-stalled solves that gained >= 6 digits: the Schur
+        # matvec contains nested velocity solves whose f64 noise bounds the
+        # reachable residual (the reference's exact-LU inner solve has the
+        # same plateau one digit lower)
+        rms0 = float(jnp.linalg.norm(jnp.concatenate(
+            [jnp.asarray(dres_u), jnp.asarray(dres_v),
+             jnp.asarray(dres_cont)])))
+        acceptable_stall = bool(schur_info.stalled) and (
+            float(schur_info.resnorm) <= 1e-6 * max(rms0, 1e-300))
+        if not bool(schur_info.converged) and not acceptable_stall:
             raise RuntimeError(
                 f"NavierStokes Schur GMRES: failed to converge in "
                 f"{int(schur_info.iterations)} iterations (resnorm "
@@ -290,10 +307,10 @@ class NavierStokesSolver:
     def _get_solution(self, T, u0=None, v0=None, p0=None):
         """Newton iteration to RMS tolerance (reference :238-270)."""
         z = jnp.zeros(self.N, self._dtype)
-        u = z if u0 is None else jnp.asarray(u0, self._dtype)
-        v = z if v0 is None else jnp.asarray(v0, self._dtype)
-        p = z if p0 is None else jnp.asarray(p0, self._dtype)
-        T = jnp.asarray(T, self._dtype)
+        u = z if u0 is None else place(u0, self._dtype)
+        v = z if v0 is None else place(v0, self._dtype)
+        p = z if p0 is None else place(p0, self._dtype)
+        T = place(T, self._dtype)
 
         atol = self._mtol_newton * np.sqrt(self.N * 3)
         self._k = 0
@@ -328,7 +345,7 @@ class NavierStokesSolver:
 
     def _get_interpol(self, f, points_plot) -> np.ndarray:
         """Evaluate the SEM interpolant at plot points (reference :280-288)."""
-        return PointEvaluator(self.grid, points_plot)(jnp.asarray(f, self._dtype))
+        return PointEvaluator(self.grid, points_plot)(place(f, self._dtype))
 
     def run(self, T_func, points_plot):
         """End-to-end solve: temperature → (u, v, p) at plot points

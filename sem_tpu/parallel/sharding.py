@@ -1,0 +1,72 @@
+"""Mesh construction and field placement for SPMD execution.
+
+Model (SURVEY.md §5.7-5.8): the element grid is the "long axis".  A global
+field in x-major flat order shards contiguously along its single dimension —
+equivalently, grid-form ``(Ngx, Ngy)`` shards by rows — which is an x-strip
+domain decomposition.  Every operator in ``sem_tpu.operators`` is
+sharding-agnostic: under ``jit`` XLA's SPMD partitioner propagates the input
+sharding through the gathers, batched contractions, segment-sums (the C0
+interface sum becomes a neighbor exchange), and dense 1D matmuls, and inserts
+the collectives; Krylov dot products become ``psum`` over the mesh — the
+direct replacement of PETSc's MPI reductions (reference
+Boussinesq_ParallelCoupler.py:91-93).
+
+Placement is the only knob: wrap a region in ``use_mesh(mesh)`` and every
+field entering the jitted kernels is ``device_put`` with the row sharding, so
+the same solver code runs single-chip or multi-chip.
+"""
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "use_mesh", "active_mesh", "place", "field_sharding"]
+
+_state = threading.local()
+
+
+def make_mesh(devices=None, axis_name: str = "x") -> Mesh:
+    """1D device mesh over ``devices`` (default: all visible devices)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def active_mesh() -> Mesh | None:
+    return getattr(_state, "mesh", None)
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    """Activate a mesh: fields placed via :func:`place` shard over it."""
+    prev = active_mesh()
+    _state.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _state.mesh = prev
+
+
+def field_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of a flat global field: contiguous chunks along the mesh axis
+    (= grid-form row strips, an x-direction domain decomposition)."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def place(x, dtype=None):
+    """Convert to a jnp array, sharded over the active mesh if one is set.
+
+    This is the single entry point the solvers use to ingest fields; with no
+    active mesh it is ``jnp.asarray``.
+    """
+    import jax.numpy as jnp
+    x = jnp.asarray(x, dtype=dtype)
+    mesh = active_mesh()
+    if mesh is not None and x.ndim == 1:
+        x = jax.device_put(x, field_sharding(mesh))
+    return x

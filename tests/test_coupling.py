@@ -1,0 +1,88 @@
+"""Coupling-layer tests: cross-mesh transfer exactness, MDA mode agreement,
+the de Vahl Davis benchmark (SURVEY.md §7.2 step 7 acceptance)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sem_tpu.interp import apply_transfer
+from sem_tpu.mesh import Grid2D
+from sem_tpu.coupling import run, build_coupled
+
+# de Vahl Davis (1983) at Ra=1e3, Pr=0.71
+DVD_UMAX, DVD_VMAX = 3.649, 3.697
+
+
+def test_transfer_reproduces_polynomials():
+    """Re-basis between grids of different (P, N_e) is exact for polynomials
+    up to the source order."""
+    src = Grid2D(P=4, N_ex=3, N_ey=2, L_x=1.0, L_y=2.0)
+    dst = Grid2D(P=3, N_ex=5, N_ey=4, L_x=1.0, L_y=2.0)
+    xs, ys = src.points
+    f = 1.0 + xs**3 - 2 * ys**2 + xs * ys
+    got = np.asarray(apply_transfer(src, dst, jnp.asarray(f)))
+    xd, yd = dst.points
+    expect = 1.0 + xd**3 - 2 * yd**2 + xd * yd
+    np.testing.assert_allclose(got, expect, rtol=1e-11, atol=1e-12)
+
+
+def test_transfer_roundtrip_same_grid_identity():
+    g = Grid2D(P=3, N_ex=2, N_ey=2, L_x=1.0, L_y=1.0)
+    f = np.random.default_rng(3).standard_normal(g.N)
+    got = np.asarray(apply_transfer(g, g, jnp.asarray(f)))
+    np.testing.assert_allclose(got, f, atol=1e-12)
+
+
+QUICK = dict(Re=1e3, Ra=1e3, Pr=0.71, P_cd=3, N_ex_cd=3, N_ey_cd=3,
+             P_ns=3, N_ex_ns=3, N_ey_ns=3, iprint=False)
+
+
+@pytest.mark.parametrize("mode", ["GS", "NJ", "JNK"])
+def test_mda_modes_agree(mode):
+    """All three coupling modes converge to the same coupled solution."""
+    x_plot, y_plot = np.meshgrid(np.linspace(0, 1, 21),
+                                 np.linspace(0, 1, 21), indexing="ij")
+    T, u, v = run((x_plot, y_plot), 1.0, 1.0, mode=mode, **QUICK)
+    if not hasattr(test_mda_modes_agree, "_ref"):
+        test_mda_modes_agree._ref = (T, u, v)
+    else:
+        T0, u0, v0 = test_mda_modes_agree._ref
+        np.testing.assert_allclose(T, T0, atol=1e-7)
+        np.testing.assert_allclose(u, u0, atol=1e-8)
+        np.testing.assert_allclose(v, v0, atol=1e-8)
+
+
+def test_mda_different_disciplinary_resolutions():
+    """CD and NS run at different (P, N_e) like the study harness
+    (reference study/Boussinesq_run.py:50-51: CD at N_e/2)."""
+    x_plot, y_plot = np.meshgrid(np.linspace(0, 1, 21),
+                                 np.linspace(0, 1, 21), indexing="ij")
+    T, u, v = run((x_plot, y_plot), 1.0, 1.0, Re=1e3, Ra=1e3, Pr=0.71,
+                  P_cd=3, N_ex_cd=2, N_ey_cd=2,
+                  P_ns=3, N_ex_ns=4, N_ey_ns=4,
+                  mode="JNK", iprint=False)
+    umax = np.max(u) * 1e3 * 0.71
+    assert abs(umax - DVD_UMAX) / DVD_UMAX < 0.05
+
+
+def test_unknown_mode_raises():
+    with pytest.raises(ValueError):
+        build_coupled(1.0, 1.0, mode="XX")
+
+
+@pytest.mark.slow
+def test_de_vahl_davis_benchmark():
+    """Full reference configuration: Ra=1e3, P=4, 8×8, JNK (reference
+    Examples/Boussinesq_Sequential_Example.py), validated against the
+    de Vahl Davis (1983) values."""
+    x_plot, y_plot = np.meshgrid(np.linspace(0, 1, 101),
+                                 np.linspace(0, 1, 101), indexing="ij")
+    T, u, v, state, stats = run((x_plot, y_plot), 1.0, 1.0,
+                                Re=1e3, Ra=1e3, Pr=0.71,
+                                P_cd=4, N_ex_cd=8, N_ey_cd=8,
+                                P_ns=4, N_ex_ns=8, N_ey_ns=8,
+                                mode="JNK", iprint=False, return_state=True)
+    umax = np.max(u) * 1e3 * 0.71
+    vmax = np.max(v) * 1e3 * 0.71
+    assert abs(umax - DVD_UMAX) / DVD_UMAX < 0.01, umax
+    assert abs(vmax - DVD_VMAX) / DVD_VMAX < 0.01, vmax
+    assert stats.nonlinear_iters <= 6

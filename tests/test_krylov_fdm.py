@@ -83,7 +83,9 @@ def test_gmres_maxiter_flags_nonconvergence():
     x, info = gmres(lambda v: Aj @ v, jnp.asarray(b), atol=1e-14,
                     restart=5, maxiter=8)
     assert not bool(info.converged)
-    assert int(info.iterations) == 8
+    # exits either at maxiter or earlier via stagnation detection
+    assert int(info.iterations) <= 8
+    assert bool(info.stalled) or int(info.iterations) == 8
 
 
 def test_cg_spd():
