@@ -1,0 +1,125 @@
+"""Benchmark: SEM operator-apply throughput (GDOF/s per chip).
+
+The headline metric of BASELINE.json: sustained application rate of the hot
+SEM operator — the convection-diffusion system matvec ``(K + Pe·conv)u`` that
+sits inside every Krylov iteration — at the north-star configuration
+p=16, 64×64 elements (N = 1,050,625 DOF), float32, on one chip.
+
+``vs_baseline``: the reference applies the same operator as a SciPy CSR
+matvec on the host (reference ConvectionDiffusion_Solver.py:87); since the
+reference publishes no numbers (BASELINE.md), the baseline is measured here:
+the same operator assembled to CSR and applied on this machine's CPU at a
+comparable configuration (p=8, 32×32; the CSR at p=16/64×64 would need
+~343M nonzeros).  The ratio is taken at that common configuration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, ".")
+
+from sem_tpu import operators as ops
+from sem_tpu.mesh import Grid2D
+
+
+def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
+    """Sustained (K + Pe·conv) apply rate in GDOF/s (normalized power
+    iteration inside one jitted fori_loop — no dispatch overhead)."""
+    u = jnp.asarray(np.random.default_rng(0).standard_normal(grid.N), dtype)
+    v = jnp.asarray(np.random.default_rng(1).standard_normal(grid.N), dtype)
+    pe = jnp.asarray(pe, dtype)
+
+    @jax.jit
+    def many(x):
+        def body(_, x):
+            y = ops.apply_stiffness(grid, x) \
+                + pe * ops.apply_convection(grid, u, v, x)
+            return y / jnp.linalg.norm(y)
+        return lax.fori_loop(0, iters, body, x)
+
+    x0 = u / jnp.linalg.norm(u)
+    jax.block_until_ready(many(x0))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(x0))
+    dt = time.perf_counter() - t0
+    return grid.N * iters / dt / 1e9, dt
+
+
+def csr_apply_rate(grid: Grid2D, iters: int, pe: float = 40.0):
+    """The reference-architecture baseline: assembled CSR matvec on host CPU."""
+    import scipy.sparse as sp
+    P = grid.P
+    rng = np.random.default_rng(0)
+    # assemble (K + Pe*conv(u,v)) elementwise into CSR via the local->global map
+    K_s, M_w, D = grid.basis.K, grid.basis.weights, grid.basis.D
+    wq = grid.wq2d
+    u_e = np.asarray(ops.gather(grid, jnp.asarray(
+        rng.standard_normal(grid.N))))
+    v_e = np.asarray(ops.gather(grid, jnp.asarray(
+        np.random.default_rng(1).standard_normal(grid.N))))
+    P1 = P + 1
+    # element matrix A_e[i,j,k,l] = stiffness + convection
+    I = np.eye(P1)
+    Kx = (2 / grid.dx) * K_s
+    Ky = (2 / grid.dy) * K_s
+    mx = grid.dx / 2 * M_w
+    my = grid.dy / 2 * M_w
+    stiff = (np.einsum("ik,jl,j->ijkl", Kx, I, my)
+             + np.einsum("ik,jl,i->ijkl", I, Ky, mx))
+    rows, cols, vals = [], [], []
+    gidx = grid.gidx.reshape(grid.N_e, P1, P1)
+    for e in range(grid.N_e):
+        conv = (pe * wq * (grid.dy / 2 * u_e[e]))[:, :, None, None] \
+            * D[:, None, :, None] * I[None, :, None, :] \
+            + (pe * wq * (grid.dx / 2 * v_e[e]))[:, :, None, None] \
+            * I[:, None, :, None] * D[None, :, None, :]
+        A_e = stiff + conv
+        g = gidx[e]
+        rows.append(np.broadcast_to(g[:, :, None, None], A_e.shape).ravel())
+        cols.append(np.broadcast_to(g[None, None, :, :], A_e.shape).ravel())
+        vals.append(A_e.ravel())
+    A = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(grid.N, grid.N)).tocsr()
+    x = np.random.default_rng(2).standard_normal(grid.N)
+    A @ x  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = A @ x
+        x = y / np.linalg.norm(y)
+    dt = time.perf_counter() - t0
+    return grid.N * iters / dt / 1e9, A
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.float32
+
+    # comparable configuration for the reference-vs-TPU ratio
+    cmp_grid = Grid2D(P=8, N_ex=32, N_ey=32, L_x=1.0, L_y=1.0)
+    csr_rate, A = csr_apply_rate(cmp_grid, iters=30)
+    dev_rate_cmp, _ = device_apply_rate(cmp_grid, dtype, iters=200)
+    vs_baseline = dev_rate_cmp / csr_rate
+
+    # headline: north-star configuration
+    big = Grid2D(P=16, N_ex=64, N_ey=64, L_x=1.0, L_y=1.0)
+    value, dt = device_apply_rate(big, dtype, iters=100)
+
+    print(json.dumps({
+        "metric": "sem_operator_apply_p16_64x64_f32",
+        "value": round(value, 3),
+        "unit": "GDOF/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

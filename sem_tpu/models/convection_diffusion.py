@@ -112,17 +112,21 @@ class ConvectionDiffusionSolver:
         atol = self._mtol * np.sqrt(self.N)
         restart, maxiter = self._restart, self._maxiter
 
+        from sem_tpu.parallel.sharding import constrain
+
         def residual(T, u, v):
+            T, u, v = constrain(T), constrain(u), constrain(v)
             r = Pe * ops.apply_convection(grid, u, v, T) \
                 + ops.apply_stiffness(grid, T)
-            return jnp.where(mask, T - dirichlet, r)
+            return constrain(jnp.where(mask, T - dirichlet, r))
 
         def dres(dT, u, v, jdu, jdv, du, dv):
             """Tangent residual; jdu/jdv are the (diagonal) velocity Jacobians."""
+            dT = constrain(dT)
             r = Pe * ops.apply_convection(grid, u, v, dT) \
                 + ops.apply_stiffness(grid, dT)
             r = r + jdu * du + jdv * dv
-            return jnp.where(mask, dT, r)
+            return constrain(jnp.where(mask, dT, r))
 
         def jac_diags(T):
             return (Pe * ops.conv_diag_x(grid, T),

@@ -150,7 +150,11 @@ class NavierStokesSolver:
             return ops.apply_stiffness(grid, w) \
                 + Re * ops.apply_convection(grid, u, v, w)
 
+        from sem_tpu.parallel.sharding import constrain
+
         def residual(u, v, p, T):
+            u, v, p, T = (constrain(u), constrain(v), constrain(p),
+                          constrain(T))
             ru = sys_apply(u, v, u) + ops.apply_grad_x(grid, p)
             rv = sys_apply(u, v, v) + ops.apply_grad_y(grid, p) \
                 - GrRe * ops.apply_mass(grid, T)
@@ -170,6 +174,7 @@ class NavierStokesSolver:
 
         def dres(du, dv, dp, dT, u_lin, v_lin, jac):
             jxx, jxy, jyx, jyy = jac
+            du, dv, dp = constrain(du), constrain(dv), constrain(dp)
             dru = sys_apply(u_lin, v_lin, du) + jxx * du + jxy * dv \
                 + ops.apply_grad_x(grid, dp)
             drv = sys_apply(u_lin, v_lin, dv) + jyx * du + jyy * dv \

@@ -67,8 +67,24 @@ def gather(grid: Grid2D, u: jax.Array) -> jax.Array:
     The vectorized equivalent of the reference's quadruple-loop ``scatter``
     (reference SEM.py:149-167 — note the reference names the gather
     direction 'scatter').
+
+    TPU-critical: implemented with **reshapes and strided slices only** — on
+    the structured tensor-product grid the local↔global map is, per axis,
+    "P-strided windows of size P+1", so no gather instruction (slow on TPU)
+    is ever emitted.  Per axis: entries i<P come from ``x[:N_e·P]`` reshaped
+    to (N_e, P); the shared i=P entry is the strided slice ``x[P::P]``.
     """
-    return u.reshape(-1)[grid.gidx]
+    P, Nex, Ney = grid.P, grid.N_ex, grid.N_ey
+    U = u.reshape(grid.Ngx, grid.Ngy)
+    # x-axis: (Ngx, Ngy) -> (Nex, P+1, Ngy)
+    a = U[:Nex * P, :].reshape(Nex, P, grid.Ngy)
+    b = U[P::P, :][:, None, :]
+    rows = jnp.concatenate([a, b], axis=1)
+    # y-axis: (Nex, P+1, Ngy) -> (Nex, P+1, Ney, P+1)
+    c = rows[:, :, :Ney * P].reshape(Nex, P + 1, Ney, P)
+    d = rows[:, :, P::P][:, :, :, None]
+    cols = jnp.concatenate([c, d], axis=3)
+    return cols.transpose(0, 2, 1, 3).reshape(grid.N_e, P + 1, P + 1)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -77,9 +93,32 @@ def scatter_sum(grid: Grid2D, u_e: jax.Array) -> jax.Array:
 
     The C0 Galerkin assembly: contributions of all elements sharing a global
     node are summed — the matrix-free equivalent of the COO duplicate-sum
-    assembly of reference SEM.py:113-146.  Under a sharded element batch this
-    lowers to a segment-sum plus an XLA collective over the device mesh.
+    assembly of reference SEM.py:113-146.
+
+    TPU-critical: the exact transpose of :func:`gather` — two slice-adds per
+    axis (interior block + P-strided shared-node line) instead of a
+    scatter-add/segment-sum, which serializes on TPU.  Interface nodes
+    receive contributions from both neighboring slices — that overlap *is*
+    the C0 interface sum (≙ halo exchange under sharding).
     """
+    P, Nex, Ney = grid.P, grid.N_ex, grid.N_ey
+    t = u_e.reshape(Nex, Ney, P + 1, P + 1).transpose(0, 2, 1, 3)
+    # y-axis: (Nex, P+1, Ney, P+1) -> (Nex, P+1, Ngy)
+    colpart = jnp.zeros((Nex, P + 1, grid.Ngy), u_e.dtype)
+    colpart = colpart.at[:, :, :Ney * P].add(
+        t[:, :, :, :P].reshape(Nex, P + 1, Ney * P))
+    colpart = colpart.at[:, :, P::P].add(t[:, :, :, P])
+    # x-axis: (Nex, P+1, Ngy) -> (Ngx, Ngy)
+    out = jnp.zeros((grid.Ngx, grid.Ngy), u_e.dtype)
+    out = out.at[:Nex * P, :].add(
+        colpart[:, :P, :].reshape(Nex * P, grid.Ngy))
+    out = out.at[P::P, :].add(colpart[:, P, :])
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def scatter_sum_segment(grid: Grid2D, u_e: jax.Array) -> jax.Array:
+    """Index-based segment-sum assembly (reference semantics cross-check)."""
     return jax.ops.segment_sum(
         u_e.reshape(-1),
         jnp.asarray(grid.gidx_flat),

@@ -62,11 +62,30 @@ def place(x, dtype=None):
     """Convert to a jnp array, sharded over the active mesh if one is set.
 
     This is the single entry point the solvers use to ingest fields; with no
-    active mesh it is ``jnp.asarray``.
+    active mesh it is ``jnp.asarray``.  SEM global vectors have odd length
+    (N_e·P+1 per direction), which ``device_put`` cannot split evenly — those
+    are left as-is here and re-sharded by the :func:`constrain` annotations
+    inside the jitted kernels (GSPMD pads internally).
     """
     import jax.numpy as jnp
     x = jnp.asarray(x, dtype=dtype)
     mesh = active_mesh()
-    if mesh is not None and x.ndim == 1:
+    if (mesh is not None and x.ndim == 1
+            and x.shape[0] % mesh.devices.size == 0):
         x = jax.device_put(x, field_sharding(mesh))
     return x
+
+
+def constrain(x):
+    """Sharding constraint for a global field *inside* jitted code.
+
+    Reads the active mesh at trace time: a solver whose kernels are first
+    traced inside a ``use_mesh`` region bakes row-strip sharding constraints
+    into its compiled programs, and XLA's SPMD partitioner propagates the
+    sharding through gathers, segment-sums, and matmuls, inserting the ICI
+    collectives.  With no active mesh this is the identity.
+    """
+    mesh = active_mesh()
+    if mesh is None or x.ndim != 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, field_sharding(mesh))
