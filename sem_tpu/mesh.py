@@ -180,6 +180,15 @@ class Grid2D:
         return np.multiply.outer(self.m1x, self.m1y).reshape(-1)
 
     @functools.cached_property
+    def stiff_diag(self) -> np.ndarray:
+        """Diagonal of the global stiffness matrix, flat ``(N,)``:
+        ``diag(K) = diag(K1x)⊗m1y + m1x⊗diag(K1y)`` (Jacobi scaling)."""
+        kx = np.diag(self.K1x)
+        ky = np.diag(self.K1y)
+        return (np.multiply.outer(kx, self.m1y)
+                + np.multiply.outer(self.m1x, ky)).reshape(-1)
+
+    @functools.cached_property
     def multiplicity(self) -> np.ndarray:
         """Number of elements sharing each global node, flat ``(N,)``."""
         out = np.zeros(self.N)

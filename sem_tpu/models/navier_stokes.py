@@ -59,7 +59,7 @@ class NavierStokesSolver:
                  iprint: list = ("NEWTON_suc", "NEWTON_iter"),
                  restart: int = 60, maxiter: int = 5000,
                  restart_velo: int = 60, maxiter_velo: int = 4000,
-                 max_newton: int = 100,
+                 max_newton: int = 100, linear_solver: str = "coupled",
                  dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
@@ -71,6 +71,13 @@ class NavierStokesSolver:
         :param restart_velo/maxiter_velo: velocity-block GMRES parameters
         :param max_newton: safety cap on Newton iterations (reference loops
             unboundedly, reference :253)
+        :param linear_solver: ``'uzawa'`` — structural parity with the
+            reference (pressure-Schur GMRES with exact inner velocity
+            solves); ``'coupled'`` — one flexible-free GMRES on the full
+            (du,dv,dp) saddle system with a block upper-triangular
+            preconditioner (FDM velocity blocks + diagonal-mass Schur
+            approximation), avoiding the nested Krylov entirely — the
+            faster TPU-native path
         """
         self._iprint = list(iprint)
         self._Re = float(Re)
@@ -85,6 +92,9 @@ class NavierStokesSolver:
         self._restart_velo = int(restart_velo)
         self._maxiter_velo = int(maxiter_velo)
         self._max_newton = int(max_newton)
+        if linear_solver not in ("uzawa", "coupled"):
+            raise ValueError("linear_solver must be 'uzawa' or 'coupled'")
+        self._linear_solver = linear_solver
         self._dtype = dtype
 
         self.grid = Grid2D(P, N_ex, N_ey, L_x, L_y)
@@ -243,10 +253,53 @@ class NavierStokesSolver:
                                        jac, q_star)
             return q[:N], q[N:], dp, schur_info, velo_info2
 
+        def update_coupled(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0):
+            """Single-level saddle-point solve: GMRES on the stacked
+            (du,dv,dp) system with a block upper-triangular right
+            preconditioner — no nested Krylov (the TPU-fast path).
+
+            Preconditioner: dp = Ŝ⁻¹ r_p (diagonal GLL mass ≈ the Schur
+            complement, as the reference's own Schur preconditioner
+            :208-212), then velocity blocks du = Â⁻¹(r_u − ∇x dp) with
+            Â⁻¹ = the exact FDM inverse of the masked Laplacian.
+            """
+            b = jnp.concatenate([res_u, res_v, res_cont])
+
+            def mv(q):
+                du, dv, dp = q[:N], q[N:2 * N], q[2 * N:]
+                a, bb, c = dres(du, dv, dp, zero(), u_lin, v_lin, jac)
+                return jnp.concatenate([a, bb, c])
+
+            stiff_diag = jnp.asarray(grid.stiff_diag, dtype=dtype)
+
+            def pc(r):
+                ru, rv, rp = r[:N], r[N:2 * N], r[2 * N:]
+                # Schur block: diagonal mass on interior continuity rows,
+                # diagonal stiffness on the artificial ∂ₙp=0 boundary rows,
+                # identity at the pin
+                dp = jnp.where(mb, rp / stiff_diag, rp / mass_diag)
+                dp = jnp.where(pin, rp, dp)
+                gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
+                gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
+                du = fdm(ru - gx)
+                dv = fdm(rv - gy)
+                return jnp.concatenate([du, dv, dp])
+
+            atol = self._mtol * np.sqrt(3 * N)
+            atol_eff = jnp.maximum(jnp.asarray(atol, dtype),
+                                   jnp.maximum(self._mtol, 50 * eps)
+                                   * jnp.linalg.norm(b))
+            q0 = jnp.concatenate([zero(), zero(), dp0])
+            q, info = gmres(mv, b, x0=q0, atol=atol_eff,
+                            restart=self._restart, maxiter=self._maxiter,
+                            precon=pc)
+            return q[:N], q[N:2 * N], q[2 * N:], info, info
+
         self._residual_jit = jax.jit(residual)
         self._jac_diags_jit = jax.jit(jac_diags)
         self._dres_jit = jax.jit(dres)
-        self._update_jit = jax.jit(update)
+        self._update_jit = jax.jit(update if self._linear_solver == "uzawa"
+                                   else update_coupled)
 
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, u, v, p, T):

@@ -1,0 +1,146 @@
+"""Parameter-sweep study harness for the coupled Boussinesq problem.
+
+Capability parity with reference study/Boussinesq_run.py:14-170: a CLI that
+sweeps polynomial order / element count / Re / Ra / coupling mode, tees
+stdout to a per-run log file, and saves element-scattered solution fields
+plus iteration counts ``[cd_solves, ns_solves, nonlinear_iters]`` to ``.npz``
+under ``Boussinesq_study/`` with a config-encoding run title.
+
+Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
+
+    -P 4,8          polynomial orders
+    -Ne 8,16        element counts (CD runs at Ne/2 like the reference study)
+    -Re 1e3         Reynolds numbers
+    -Ra 1e3,1e4     Rayleigh numbers
+    -mode JNK       GS | NJ | JNK
+    -log True       tee stdout to Boussinesq_study/<title>.log
+    -save True      save .npz results
+    -backend single single | mesh (mesh = shard over all visible devices,
+                    the TPU replacement of the reference's PETSc backend)
+
+Run: ``python study/boussinesq_run.py -P 4 -Ne 8 -mode JNK``
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Logger:
+    """stdout tee into a log file (parity: reference study :14-23)."""
+
+    def __init__(self, file):
+        self.terminal = sys.__stdout__
+        self.log = open(file, "w")
+
+    def write(self, message):
+        self.log.write(message)
+        self.terminal.write(message)
+
+    def flush(self):
+        self.log.flush()
+
+
+def run(log=False, save=True,
+        L_x=1., L_y=1.,
+        Re=1.e3, Ra=1.e3, Pr=0.71,
+        P=4, N_e=8,
+        mode="JNK", backend="single",
+        mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
+        mtol_gmres=1e-13, restart=20,
+        mtol_internal=1e-13):
+    from sem_tpu import operators as ops
+    from sem_tpu.coupling import build_coupled
+    from sem_tpu.parallel.sharding import make_mesh, use_mesh
+    import contextlib
+
+    title = f"Boussinesq{mode}_{Re:.1e}~{Ra:.1e}~{Pr}_{P}~{N_e}_"
+    if mode == "GS":
+        title += f"{mtol_nonlin:.0e}_{mtol_internal:.0e}"
+    elif mode == "NJ":
+        title += f"{mtol_nonlin:.0e}~{AGi}~{AGr}~{AGc}_{mtol_internal:.0e}"
+    elif mode == "JNK":
+        title += f"{mtol_nonlin:.0e}_{mtol_gmres:.0e}~{restart}_{mtol_internal:.0e}"
+    else:
+        raise RuntimeError("Unknown method")
+    print(title)
+
+    if log:
+        os.makedirs("Boussinesq_study", exist_ok=True)
+        sys.stdout = Logger(f"Boussinesq_study/{title}.log")
+
+    try:
+        ctx = (use_mesh(make_mesh()) if backend == "mesh"
+               else contextlib.nullcontext())
+        with ctx:
+            # CD at half the NS element count (reference study :50-51)
+            cd, ns, mda = build_coupled(
+                L_x, L_y, Re=Re, Ra=Ra, Pr=Pr,
+                P_cd=P, N_ex_cd=max(1, int(N_e / 2)),
+                N_ey_cd=max(1, int(N_e / 2)),
+                P_ns=P, N_ex_ns=N_e, N_ey_ns=N_e,
+                mode=mode, mtol_nonlin=mtol_nonlin,
+                AGi=AGi, AGr=AGr, AGc=AGc,
+                mtol_gmres=mtol_gmres, restart=restart,
+                mtol_internal=mtol_internal)
+            state = mda.solve()
+    finally:
+        if log:
+            sys.stdout = sys.__stdout__
+
+    # element-scattered fields (parity: reference study :114-124 saves
+    # SEM.scatter'd coefficient arrays)
+    def escatter(grid, f):
+        return np.asarray(ops.gather(grid, jnp.asarray(f))).reshape(
+            grid.N_ex, grid.N_ey, grid.P + 1, grid.P + 1)
+
+    T_e = escatter(cd.grid, state.T)
+    u_e = escatter(ns.grid, state.u)
+    v_e = escatter(ns.grid, state.v)
+    iters = mda.stats.as_list()
+    print(iters)
+
+    if save:
+        os.makedirs("Boussinesq_study", exist_ok=True)
+        np.savez("Boussinesq_study/" + title, T_e, u_e, v_e, np.array(iters))
+    return state, mda.stats
+
+
+if __name__ == "__main__":
+    save = True
+    log = False
+    mode = "JNK"
+    backend = "single"
+    P_set = [4]
+    Ne_set = [8]
+    Re_set = [1.e3]
+    Ra_set = [1.e3]
+
+    args = sys.argv
+    for i, arg in enumerate(args):
+        if arg == "-P":
+            P_set = [int(s) for s in args[i + 1].split(",")]
+        if arg == "-Ne":
+            Ne_set = [int(s) for s in args[i + 1].split(",")]
+        if arg == "-Re":
+            Re_set = [float(s) for s in args[i + 1].split(",")]
+        if arg == "-Ra":
+            Ra_set = [float(s) for s in args[i + 1].split(",")]
+        if arg == "-mode":
+            mode = args[i + 1]
+        if arg == "-log":
+            log = args[i + 1].lower() in ("true", "1", "yes")
+        if arg == "-save":
+            save = args[i + 1].lower() in ("true", "1", "yes")
+        if arg == "-backend":
+            backend = args[i + 1]
+
+    for Re in Re_set:
+        for Ra in Ra_set:
+            for P in P_set:
+                for Ne in Ne_set:
+                    run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
+                        P=int(P), N_e=int(Ne), backend=backend)

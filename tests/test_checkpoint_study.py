@@ -1,0 +1,78 @@
+"""Checkpoint/resume and study-harness tests (SURVEY.md §5.4, component #30)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sem_tpu.coupling import build_coupled
+from sem_tpu.coupling.mda import CoupledState
+from sem_tpu.utils import save_checkpoint, load_checkpoint
+
+CFG = dict(Re=1e3, Ra=1e3, Pr=0.71, P=3, N_e=3)
+
+
+def _solve(mtol=1e-9, s0=None):
+    cd, ns, mda = build_coupled(1.0, 1.0, Re=CFG["Re"], Ra=CFG["Ra"],
+                                Pr=CFG["Pr"], P_cd=3, N_ex_cd=3, N_ey_cd=3,
+                                P_ns=3, N_ex_ns=3, N_ey_ns=3,
+                                mode="GS", mtol_nonlin=mtol, iprint=False)
+    return mda.solve(s0), mda
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state, mda = _solve()
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, CFG, mda.stats)
+    loaded, config, iters = load_checkpoint(path, expect_config=CFG)
+    np.testing.assert_array_equal(np.asarray(loaded.T), np.asarray(state.T))
+    np.testing.assert_array_equal(np.asarray(loaded.p), np.asarray(state.p))
+    assert config == CFG
+    assert iters[2] == mda.stats.nonlinear_iters
+
+
+def test_checkpoint_config_mismatch_raises(tmp_path):
+    state, mda = _solve()
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, CFG)
+    with pytest.raises(ValueError, match="mismatch"):
+        load_checkpoint(path, expect_config={**CFG, "Ra": 1e4})
+
+
+def test_resume_from_checkpoint_converges_immediately(tmp_path):
+    """A solve warm-started from a converged checkpoint finishes in one
+    sweep — true resume capability (the reference only has in-run warm
+    starts, SURVEY.md §5.4)."""
+    state, mda0 = _solve()
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, CFG, mda0.stats)
+    loaded, _, _ = load_checkpoint(path)
+    state2, mda = _solve(s0=loaded)
+    assert mda.stats.nonlinear_iters <= 1
+    # the single confirming sweep may move the iterate within the
+    # convergence band (atol_nonlin ≈ 2e-8)
+    np.testing.assert_allclose(np.asarray(state2.T), np.asarray(state.T),
+                               atol=1e-6)
+
+
+def test_study_harness_cli(tmp_path):
+    """The sweep CLI runs end-to-end and saves the npz/log artifacts."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "study", "boussinesq_run.py"),
+         "-P", "2", "-Ne", "2", "-mode", "GS", "-log", "True",
+         "-save", "True", "-Re", "100", "-Ra", "100"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    files = os.listdir(tmp_path / "Boussinesq_study")
+    assert any(f.endswith(".npz") for f in files), files
+    assert any(f.endswith(".log") for f in files), files
+    npz = [f for f in files if f.endswith(".npz")][0]
+    with np.load(tmp_path / "Boussinesq_study" / npz) as z:
+        arrays = [z[k] for k in z.files if k != "meta"]
+    # element-scattered T, u, v + iteration counters
+    assert len(arrays) == 4

@@ -1,0 +1,74 @@
+"""Multi-device tests on the virtual 8-device CPU mesh — the TPU analog of
+the reference's single-box ``mpirun -n 2`` strategy (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sem_tpu import operators as ops
+from sem_tpu.mesh import Grid2D
+from sem_tpu.parallel.sharding import (make_mesh, use_mesh, field_sharding,
+                                       constrain, place)
+
+RNG = np.random.default_rng(5)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_sharded_operator_parity():
+    """Operator applies with sharded inputs match unsharded to ~1e-14."""
+    grid = Grid2D(P=4, N_ex=8, N_ey=4, L_x=1.0, L_y=1.0)
+    mesh = make_mesh()
+    u = RNG.standard_normal(grid.N)
+    w = RNG.standard_normal(grid.N)
+    ref_K = np.asarray(ops.apply_stiffness(grid, jnp.asarray(u)))
+    ref_C = np.asarray(ops.apply_convection(grid, jnp.asarray(u),
+                                            jnp.asarray(u), jnp.asarray(w)))
+
+    sharded_apply = jax.jit(lambda x: constrain(ops.apply_stiffness(grid, x)))
+    sharded_conv = jax.jit(
+        lambda a, b, c: constrain(ops.apply_convection(grid, a, b, c)))
+    with use_mesh(mesh):
+        got_K = np.asarray(sharded_apply(jnp.asarray(u)))
+        got_C = np.asarray(sharded_conv(jnp.asarray(u), jnp.asarray(u),
+                                        jnp.asarray(w)))
+    np.testing.assert_allclose(got_K, ref_K, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(got_C, ref_C, rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_solver_parity():
+    """A CD solve with kernels traced under the mesh equals the unsharded
+    solve (SURVEY.md §7.2 step 8 acceptance: parity to ~1e-14)."""
+    from sem_tpu import ConvectionDiffusionSolver
+
+    kw = dict(L_x=1.0, L_y=1.0, Pe=10.0, P=3, N_ex=4, N_ey=4,
+              T_W=0.5, T_E=-0.5, mtol=1e-11)
+    u = RNG.standard_normal((3 * 4 + 1) ** 2)
+    v = RNG.standard_normal((3 * 4 + 1) ** 2)
+
+    cd0 = ConvectionDiffusionSolver(**kw)
+    T_ref = np.asarray(cd0._get_solution(jnp.asarray(u), jnp.asarray(v)))
+
+    with use_mesh(make_mesh()):
+        cd1 = ConvectionDiffusionSolver(**kw)
+        T_sh = np.asarray(cd1._get_solution(jnp.asarray(u), jnp.asarray(v)))
+
+    np.testing.assert_allclose(T_sh, T_ref, atol=1e-12)
+
+
+def test_place_divisibility_rules():
+    mesh = make_mesh()
+    with use_mesh(mesh):
+        a = place(np.zeros(64))          # divisible -> sharded
+        b = place(np.zeros(81))          # odd -> left unsharded
+    assert a.sharding == field_sharding(mesh)
+    assert not b.sharding.is_equivalent_to(field_sharding(mesh), 1)
+
+
+def test_dryrun_multichip():
+    """The driver's multi-chip dry run executes on the 8-device CPU mesh."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
