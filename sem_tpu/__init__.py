@@ -31,9 +31,21 @@ float64 is enabled at import because the reference's Newton iterations
 converge to 1e-13 rms residuals (reference NavierStokes_Solver.py:13);
 all hot kernels also accept float32/bfloat16 inputs for speed benchmarking.
 """
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The solver megakernels (nested Krylov under jit) compile in minutes on TPU;
+# the persistent compilation cache makes every later process start instantly.
+# Override the location with SEM_TPU_CACHE_DIR; disable with SEM_TPU_CACHE=0.
+if _os.environ.get("SEM_TPU_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("SEM_TPU_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/sem_tpu_jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from sem_tpu import gll
 from sem_tpu.mesh import Grid2D

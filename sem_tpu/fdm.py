@@ -134,13 +134,12 @@ class FDM2D:
         Zx = jnp.asarray(self._Zx.astype(dtype))
         Zy = jnp.asarray(self._Zy.astype(dtype))
         ginv = jnp.asarray(self._ginv.astype(dtype))
-        W = jnp.matmul(Zx.T, jnp.matmul(Rint, Zy,
-                                        preferred_element_type=dtype),
-                       preferred_element_type=dtype)
+        hi = jax.lax.Precision.HIGHEST  # TPU: f32 matmuls default to bf16
+        W = jnp.matmul(Zx.T, jnp.matmul(Rint, Zy, precision=hi),
+                       precision=hi)
         W = W * ginv
-        Uint = jnp.matmul(Zx, jnp.matmul(W, Zy.T,
-                                         preferred_element_type=dtype),
-                          preferred_element_type=dtype)
+        Uint = jnp.matmul(Zx, jnp.matmul(W, Zy.T, precision=hi),
+                          precision=hi)
 
         out = Rb.at[ixg, iyg].set(Uint) if self._has_boundary else Uint
         return out.reshape(-1)

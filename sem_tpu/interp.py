@@ -70,7 +70,9 @@ class PointEvaluator:
         U = f.reshape(self._grid.Ngx, self._grid.Ngy)
         Ex = jnp.asarray(self._Ex.astype(f.dtype))
         Ey = jnp.asarray(self._Ey.astype(f.dtype))
-        return Ex @ U @ Ey.T
+        hi = jax.lax.Precision.HIGHEST
+        return jnp.matmul(jnp.matmul(Ex, U, precision=hi), Ey.T,
+                          precision=hi)
 
     def __call__(self, f) -> np.ndarray:
         return np.asarray(self._apply(jnp.asarray(f)))
@@ -110,4 +112,6 @@ def apply_transfer(src: Grid2D, dst: Grid2D, f: jax.Array) -> jax.Array:
     U = f.reshape(src.Ngx, src.Ngy)
     Exj = jnp.asarray(Ex.astype(f.dtype))
     Eyj = jnp.asarray(Ey.astype(f.dtype))
-    return (Exj @ U @ Eyj.T).reshape(-1)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Exj, U, precision=hi), Eyj.T,
+                      precision=hi).reshape(-1)

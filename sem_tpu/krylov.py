@@ -80,7 +80,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         V = V.at[0].set(r / jnp.maximum(beta, eps_tiny))
         H = jnp.zeros((m + 1, m), dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        cs = jnp.zeros(m, dtype)
+        cs = jnp.ones(m, dtype)   # identity rotations in unused slots
         sn = jnp.zeros(m, dtype)
         return x, V, H, cs, sn, g, beta
 
@@ -97,24 +97,38 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled = state
 
         w = matvec(precon(V[k]))
-        # masked modified Gram-Schmidt against V[0..k]
-        def orth(j, carry):
-            w, h = carry
-            hj = jnp.where(j <= k, jnp.vdot(V[j], w), jnp.asarray(0, dtype))
-            return w - hj * V[j], h.at[j].set(hj)
-
-        w, h = lax.fori_loop(0, m, orth, (w, jnp.zeros(m + 1, dtype)))
+        # classical Gram-Schmidt with reorthogonalization (CGS2): two passes
+        # of (V @ w, w -= Vᵀh) — two large matvecs over the Krylov buffer
+        # instead of a sequential per-vector loop (latency-bound on TPU).
+        # Rows of V beyond k are still zero, so no masking is needed.
+        hi = lax.Precision.HIGHEST  # TPU: f32 matmuls default to bf16
+        h1 = jnp.matmul(V, w, precision=hi)
+        w = w - jnp.matmul(V.T, h1, precision=hi)
+        h2 = jnp.matmul(V, w, precision=hi)
+        w = w - jnp.matmul(V.T, h2, precision=hi)
+        h = h1 + h2
         hk1 = jnp.linalg.norm(w)
         h = h.at[k + 1].set(hk1)
         V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
 
-        # apply previous Givens rotations to the new column
-        def rot(j, h):
-            a = cs[j] * h[j] + sn[j] * h[j + 1]
-            bb = -sn[j] * h[j] + cs[j] * h[j + 1]
-            return jnp.where(j < k, h.at[j].set(a).at[j + 1].set(bb), h)
+        # Apply all previous Givens rotations to the new column.  The
+        # recurrence α_{j+1} = -s_j α_j + c_j h_{j+1} (α_0 = h_0) is a
+        # first-order linear recurrence → log-depth associative scan instead
+        # of a sequential loop (which is latency-bound on TPU).  Unused
+        # rotation slots hold the identity (c=1, s=0), so no masking on k is
+        # needed: beyond position k the column passes through unchanged.
+        A = -sn
+        bvec = (cs * h[1:]).at[0].add(A[0] * h[0])
 
-        h = lax.fori_loop(0, m, rot, h)
+        def _comb(x, y):
+            Ax, bx = x
+            Ay, by = y
+            return Ay * Ax, Ay * bx + by
+
+        _, ys = lax.associative_scan(_comb, (A, bvec))
+        alphas = jnp.concatenate([h[:1], ys])        # α_0 .. α_m
+        hprime = cs * alphas[:m] + sn * h[1:]        # rotated entries 0..m-1
+        h = jnp.concatenate([hprime, alphas[m:m + 1]])
         # new rotation zeroing h[k+1]
         denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
         c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny), 1.0)
@@ -141,7 +155,8 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
             rhs = jnp.where(used, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
             # right-preconditioned update: x += M⁻¹ (Vᵀ y)  (precon is linear)
-            dx = precon(V[:m].T @ y)
+            dx = precon(jnp.matmul(V[:m].T, y,
+                                   precision=lax.Precision.HIGHEST))
             x_new = x + dx
             xn, Vn, Hn, csn, snn, gn, beta = new_cycle(x_new)
             # recompute the true residual at cycle end; use it for the test.

@@ -187,11 +187,11 @@ class ConvectionDiffusionSolver:
                                     if dT0 is None else dT0)
         self.last_info = info
         self.iter_count_solve += 1
-        # accept roundoff-stalled solves that gained >= 6 digits
-        acceptable_stall = bool(info.stalled) and (
-            float(info.resnorm)
-            <= 1e-6 * max(float(jnp.linalg.norm(jnp.asarray(dres))), 1e-300))
-        if not bool(info.converged) and not acceptable_stall:
+        # roundoff-stalled solves return the best-achievable iterate and are
+        # accepted (outer convergence checks are authoritative); genuine
+        # non-convergence (maxiter while progressing) raises like the
+        # reference (:149-150)
+        if not bool(info.converged) and not bool(info.stalled):
             raise RuntimeError(
                 f"ConvectionDiffusion GMRES: failed to converge in "
                 f"{int(info.iterations)} iterations (resnorm "

@@ -151,8 +151,9 @@ def apply_stiffness(grid: Grid2D, u: jax.Array) -> jax.Array:
     K1y = _c(grid, "K1y", u.dtype)
     m1x = _c(grid, "m1x", u.dtype)
     m1y = _c(grid, "m1y", u.dtype)
-    KU = jnp.matmul(K1x, U, preferred_element_type=u.dtype) * m1y[None, :]
-    UK = jnp.matmul(U, K1y.T, preferred_element_type=u.dtype) * m1x[:, None]
+    hi = jax.lax.Precision.HIGHEST
+    KU = jnp.matmul(K1x, U, precision=hi) * m1y[None, :]
+    UK = jnp.matmul(U, K1y.T, precision=hi) * m1x[:, None]
     return flat_form(KU + UK)
 
 
@@ -166,7 +167,9 @@ def apply_grad_x(grid: Grid2D, p: jax.Array) -> jax.Array:
     U = grid_form(grid, p)
     G1x = _c(grid, "G1x", p.dtype)
     m1y = _c(grid, "m1y", p.dtype)
-    return flat_form(jnp.matmul(G1x, U, preferred_element_type=p.dtype) * m1y[None, :])
+    return flat_form(jnp.matmul(G1x, U,
+                                precision=jax.lax.Precision.HIGHEST)
+                     * m1y[None, :])
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -175,19 +178,23 @@ def apply_grad_y(grid: Grid2D, p: jax.Array) -> jax.Array:
     U = grid_form(grid, p)
     G1y = _c(grid, "G1y", p.dtype)
     m1x = _c(grid, "m1x", p.dtype)
-    return flat_form(jnp.matmul(U, G1y.T, preferred_element_type=p.dtype) * m1x[:, None])
+    return flat_form(jnp.matmul(U, G1y.T,
+                                precision=jax.lax.Precision.HIGHEST)
+                     * m1x[:, None])
 
 
 def _elem_dx(grid: Grid2D, w_e: jax.Array) -> jax.Array:
     """Batched ξ-derivative along x within each element: (D̂ w)ᵢⱼ."""
     D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
-    return jnp.einsum("ik,ekj->eij", D, w_e, preferred_element_type=w_e.dtype)
+    return jnp.einsum("ik,ekj->eij", D, w_e,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _elem_dy(grid: Grid2D, w_e: jax.Array) -> jax.Array:
     """Batched ξ-derivative along y within each element: (w D̂ᵀ)ᵢⱼ."""
     D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
-    return jnp.einsum("jl,eil->eij", D, w_e, preferred_element_type=w_e.dtype)
+    return jnp.einsum("jl,eil->eij", D, w_e,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnums=0)
