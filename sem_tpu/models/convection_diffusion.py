@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres
+from sem_tpu.krylov import gmres, refined_gmres
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -47,6 +47,7 @@ class ConvectionDiffusionSolver:
                  T_S: float = None, T_N: float = None,
                  mtol: float = 1e-7, iprint: list = (),
                  restart: int = 40, maxiter: int = 5000,
+                 mixed_precision: bool = True,
                  dtype=jnp.float64):
         """
         :param L_x, L_y: domain lengths
@@ -66,6 +67,9 @@ class ConvectionDiffusionSolver:
         self._mtol = float(mtol)
         self._restart = int(restart)
         self._maxiter = int(maxiter)
+        # float32 Krylov loop inside float64 iterative refinement (f64
+        # matmuls are software-emulated on TPU MXUs)
+        self._mixed_precision = bool(mixed_precision)
         self._dtype = dtype
 
         self.grid = Grid2D(P, N_ex, N_ey, L_x, L_y)
@@ -135,15 +139,29 @@ class ConvectionDiffusionSolver:
         eps = float(np.finfo(np.dtype(self._dtype)).eps)
 
         def update(drhs, u, v, dT0):
-            mv = lambda dT: dres(dT, u, v, jnp.zeros_like(drhs),
-                                 jnp.zeros_like(drhs),
-                                 jnp.zeros_like(drhs), jnp.zeros_like(drhs))
             # convergence floor: absolute RMS tolerance or mtol relative to
             # the RHS scale (absolute targets below roundoff are unreachable)
             atol_eff = jnp.maximum(jnp.asarray(atol, drhs.dtype),
                                    jnp.maximum(self._mtol, 50 * eps)
                                    * jnp.linalg.norm(drhs))
-            return gmres(mv, drhs, x0=dT0, atol=atol_eff, restart=restart,
+
+            def make_ops(xdtype):
+                # pre-gather the fixed velocities once per solve
+                ul_e = ops.gather(grid, u.astype(xdtype))
+                vl_e = ops.gather(grid, v.astype(xdtype))
+
+                def mv(dT):
+                    r = Pe * ops.apply_convection_elems(grid, ul_e, vl_e, dT) \
+                        + ops.apply_stiffness(grid, dT)
+                    return jnp.where(mask, dT, r)
+
+                return mv, fdm  # fdm is dtype-following and self-adjoint
+
+            if self._mixed_precision:
+                return refined_gmres(make_ops, drhs, x0=dT0, atol=atol_eff,
+                                     restart=restart, maxiter=maxiter)
+            mv64, _ = make_ops(drhs.dtype)
+            return gmres(mv64, drhs, x0=dT0, atol=atol_eff, restart=restart,
                          maxiter=maxiter, precon=fdm)
 
         self._residual_jit = jax.jit(residual)

@@ -46,7 +46,7 @@ from jax import lax
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres, KrylovInfo
+from sem_tpu.krylov import gmres, refined_gmres, KrylovInfo
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -268,15 +268,29 @@ class NavierStokesSolver:
             """
             ul = u_lin.astype(xdtype)
             vl = v_lin.astype(xdtype)
-            jc = tuple(j.astype(xdtype) for j in jac)
+            # pre-gather the fixed linearization velocities once per solve
+            ul_e = ops.gather(grid, ul)
+            vl_e = ops.gather(grid, vl)
+            jxx, jxy, jyx, jyy = tuple(j.astype(xdtype) for j in jac)
             md = mass_diag.astype(xdtype)
             sd = jnp.asarray(grid.stiff_diag.astype(xdtype))
-            zT = jnp.zeros(N, xdtype)
+
+            def sysm(w):
+                return ops.apply_stiffness(grid, w) + Re * \
+                    ops.apply_convection_elems(grid, ul_e, vl_e, w)
 
             def mv(q):
                 du, dv, dp = q[:N], q[N:2 * N], q[2 * N:]
-                a, bb, c = dres(du, dv, dp, zT, ul, vl, jc)
-                return jnp.concatenate([a, bb, c])
+                dru = sysm(du) + jxx * du + jxy * dv \
+                    + ops.apply_grad_x(grid, dp)
+                drv = jyx * du + sysm(dv) + jyy * dv \
+                    + ops.apply_grad_y(grid, dp)
+                drc = ops.apply_grad_x(grid, du) + ops.apply_grad_y(grid, dv)
+                dru = jnp.where(mb, du, dru)
+                drv = jnp.where(mb, dv, drv)
+                drc = jnp.where(mb, ops.apply_stiffness(grid, dp), drc)
+                drc = jnp.where(pin, dp, drc)
+                return jnp.concatenate([dru, drv, drc])
 
             def pc(r):
                 ru, rv, rp = r[:N], r[N:2 * N], r[2 * N:]
@@ -322,51 +336,11 @@ class NavierStokesSolver:
                                 maxiter=self._maxiter, precon=pc64)
                 return q[:N], q[N:2 * N], q[2 * N:], info, info
 
-            lp = jnp.float32
-            mv32, pc32 = _coupled_ops(u_lin, v_lin, jac, lp)
-            inner_rtol = 1e-5
-
             x0 = jnp.concatenate([zero(), zero(), dp0])
-            # refinement carry:
-            # (x, x_best, rn_best, total_iters, passes, done, prev_rn)
-            big = jnp.asarray(np.inf, dtype)
-            state = (x0, x0, big, jnp.int32(0), jnp.int32(0),
-                     jnp.asarray(False), big)
-
-            def rcond(c):
-                return ~c[5]
-
-            def rbody(c):
-                x, x_best, rn_best, it, k, done, prev = c
-                r = b - mv64(x)
-                rn = jnp.linalg.norm(r)
-                better = rn < rn_best
-                x_best = jnp.where(better, x, x_best)
-                rn_best = jnp.where(better, rn, rn_best)
-                done_now = ((rn <= atol_eff) | (k >= self._max_refine)
-                            | (rn > 0.9 * prev))
-
-                def solve(_):
-                    # left-preconditioned f32 inner solve: the raw system's
-                    # row scales span ~1e7 (stiffness vs mass rows), beyond
-                    # f32 resolution; in the preconditioned norm the rows are
-                    # O(1).  The f64 refinement loop still enforces the TRUE
-                    # residual tolerance (and keeps the best iterate).
-                    rp32 = pc32(r.astype(lp))
-                    dx, info = gmres(
-                        lambda q: pc32(mv32(q)), rp32,
-                        atol=inner_rtol * jnp.linalg.norm(rp32),
-                        restart=self._restart, maxiter=self._maxiter)
-                    return x + dx.astype(dtype), it + info.iterations
-
-                x_new, it_new = lax.cond(done_now, lambda _: (x, it),
-                                         solve, None)
-                return (x_new, x_best, rn_best, it_new, k + 1, done_now, rn)
-
-            st = lax.while_loop(rcond, rbody, state)
-            x, rn, it = st[1], st[2], st[3]
-            info = KrylovInfo(converged=rn <= atol_eff, iterations=it,
-                              resnorm=rn, stalled=rn > atol_eff)
+            x, info = refined_gmres(
+                lambda xd: _coupled_ops(u_lin, v_lin, jac, xd), b, x0=x0,
+                atol=atol_eff, restart=self._restart, maxiter=self._maxiter,
+                max_refine=self._max_refine)
             return x[:N], x[N:2 * N], x[2 * N:], info, info
 
         self._residual_jit = jax.jit(residual)

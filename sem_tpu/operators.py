@@ -218,6 +218,24 @@ def apply_convection(grid: Grid2D, u: jax.Array, v: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def apply_convection_elems(grid: Grid2D, u_e: jax.Array, v_e: jax.Array,
+                           w: jax.Array) -> jax.Array:
+    """:func:`apply_convection` with pre-gathered velocity element arrays.
+
+    Inside a Krylov loop the linearization velocities are fixed — gathering
+    them once per Newton step (instead of per matvec) removes two of the
+    four element-form transformations from the hot path.
+    """
+    w_e = gather(grid, w)
+    wq = jnp.asarray(grid.wq2d.astype(w.dtype))
+    half_dx = jnp.asarray(grid.dx / 2, dtype=w.dtype)
+    half_dy = jnp.asarray(grid.dy / 2, dtype=w.dtype)
+    t = wq[None] * (half_dy * u_e * _elem_dx(grid, w_e)
+                    + half_dx * v_e * _elem_dy(grid, w_e))
+    return scatter_sum(grid, t)
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def conv_diag_x(grid: Grid2D, f: jax.Array) -> jax.Array:
     """Diagonal (as a vector) of the global operator ``Cx @ f`` (right slot).
 
