@@ -36,16 +36,11 @@ def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
     u = jnp.asarray(np.random.default_rng(0).standard_normal(grid.N), dtype)
     v = jnp.asarray(np.random.default_rng(1).standard_normal(grid.N), dtype)
     pe = jnp.asarray(pe, dtype)
-    # the velocities are the (fixed) linearization state inside a Krylov
-    # loop: pre-gathered once, exactly as the solvers do
-    u_e = ops.gather(grid, u)
-    v_e = ops.gather(grid, v)
-
     @jax.jit
     def many(x):
         def body(_, x):
             y = ops.apply_stiffness(grid, x) \
-                + pe * ops.apply_convection_elems(grid, u_e, v_e, x)
+                + pe * ops.apply_convection(grid, u, v, x)
             return y / jnp.linalg.norm(y)
         return lax.fori_loop(0, iters, body, x)
 

@@ -146,12 +146,11 @@ class ConvectionDiffusionSolver:
                                    * jnp.linalg.norm(drhs))
 
             def make_ops(xdtype):
-                # pre-gather the fixed velocities once per solve
-                ul_e = ops.gather(grid, u.astype(xdtype))
-                vl_e = ops.gather(grid, v.astype(xdtype))
+                ul = u.astype(xdtype)
+                vl = v.astype(xdtype)
 
                 def mv(dT):
-                    r = Pe * ops.apply_convection_elems(grid, ul_e, vl_e, dT) \
+                    r = Pe * ops.apply_convection(grid, ul, vl, dT) \
                         + ops.apply_stiffness(grid, dT)
                     return jnp.where(mask, dT, r)
 

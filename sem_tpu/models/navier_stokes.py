@@ -268,16 +268,13 @@ class NavierStokesSolver:
             """
             ul = u_lin.astype(xdtype)
             vl = v_lin.astype(xdtype)
-            # pre-gather the fixed linearization velocities once per solve
-            ul_e = ops.gather(grid, ul)
-            vl_e = ops.gather(grid, vl)
             jxx, jxy, jyx, jyy = tuple(j.astype(xdtype) for j in jac)
             md = mass_diag.astype(xdtype)
             sd = jnp.asarray(grid.stiff_diag.astype(xdtype))
 
             def sysm(w):
                 return ops.apply_stiffness(grid, w) + Re * \
-                    ops.apply_convection_elems(grid, ul_e, vl_e, w)
+                    ops.apply_convection(grid, ul, vl, w)
 
             def mv(q):
                 du, dv, dp = q[:N], q[N:2 * N], q[2 * N:]

@@ -205,34 +205,22 @@ def apply_convection(grid: Grid2D, u: jax.Array, v: jax.Array,
     Matrix-free equivalent of the reference's left-slot rank-3 tensordots
     (reference ConvectionDiffusion_Solver.py:82-83,
     NavierStokes_Solver.py:103-104) — the 3-tensor is never materialized.
+
+    **Key identity** (proved by the super-diagonal GLL product tensor
+    Fˢᵢⱼₖ = wᵢδᵢⱼδᵢₖ, reference GLL.py:91): the globally assembled trilinear
+    convection form collapses to a *pointwise product with the assembled weak
+    gradient*::
+
+        (u @ Cx) w = u ∘ (Gx w),        (u @ Cy) w = u ∘ (Gy w)
+
+    because the element-sum Σₑ ŵᵢŵⱼ(dy/2)·u·(D̂w)ₑ factorizes per direction
+    and the x-factor is exactly the assembled G1x row while the y-factor
+    reassembles m1y.  Hence the whole convection apply is two dense 1D
+    matmuls and elementwise products — no gather, no scatter, no element
+    batch (validated to machine precision against the dense rank-3 oracle in
+    tests/test_mesh_operators.py).
     """
-    u_e = gather(grid, u)
-    v_e = gather(grid, v)
-    w_e = gather(grid, w)
-    wq = jnp.asarray(grid.wq2d.astype(w.dtype))
-    half_dx = jnp.asarray(grid.dx / 2, dtype=w.dtype)
-    half_dy = jnp.asarray(grid.dy / 2, dtype=w.dtype)
-    t = wq[None] * (half_dy * u_e * _elem_dx(grid, w_e)
-                    + half_dx * v_e * _elem_dy(grid, w_e))
-    return scatter_sum(grid, t)
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def apply_convection_elems(grid: Grid2D, u_e: jax.Array, v_e: jax.Array,
-                           w: jax.Array) -> jax.Array:
-    """:func:`apply_convection` with pre-gathered velocity element arrays.
-
-    Inside a Krylov loop the linearization velocities are fixed — gathering
-    them once per Newton step (instead of per matvec) removes two of the
-    four element-form transformations from the hot path.
-    """
-    w_e = gather(grid, w)
-    wq = jnp.asarray(grid.wq2d.astype(w.dtype))
-    half_dx = jnp.asarray(grid.dx / 2, dtype=w.dtype)
-    half_dy = jnp.asarray(grid.dy / 2, dtype=w.dtype)
-    t = wq[None] * (half_dy * u_e * _elem_dx(grid, w_e)
-                    + half_dx * v_e * _elem_dy(grid, w_e))
-    return scatter_sum(grid, t)
+    return u * apply_grad_x(grid, w) + v * apply_grad_y(grid, w)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -241,20 +229,14 @@ def conv_diag_x(grid: Grid2D, f: jax.Array) -> jax.Array:
 
     Matrix-free equivalent of ``tensordot(C_x, f, (2,0))`` (reference
     ConvectionDiffusion_Solver.py:101, NavierStokes_Solver.py:131-136): the
-    result is globally diagonal because the left two tensor slots coincide on
-    the same nodal point; the diagonal value at a global node is the C0 sum of
-    ``ŵᵢŵⱼ (dy/2) (D̂ f)ᵢⱼ`` over the elements sharing it.
+    result is globally diagonal (the left two tensor slots coincide on the
+    same nodal point) and by the same identity as
+    :func:`apply_convection` equals the assembled weak x-derivative ``Gx f``.
     """
-    f_e = gather(grid, f)
-    wq = jnp.asarray(grid.wq2d.astype(f.dtype))
-    half_dy = jnp.asarray(grid.dy / 2, dtype=f.dtype)
-    return scatter_sum(grid, wq[None] * half_dy * _elem_dx(grid, f_e))
+    return apply_grad_x(grid, f)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def conv_diag_y(grid: Grid2D, f: jax.Array) -> jax.Array:
     """Diagonal (as a vector) of the global operator ``Cy @ f`` (right slot)."""
-    f_e = gather(grid, f)
-    wq = jnp.asarray(grid.wq2d.astype(f.dtype))
-    half_dx = jnp.asarray(grid.dx / 2, dtype=f.dtype)
-    return scatter_sum(grid, wq[None] * half_dx * _elem_dy(grid, f_e))
+    return apply_grad_y(grid, f)
