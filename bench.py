@@ -39,8 +39,7 @@ def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
     @jax.jit
     def many(x):
         def body(_, x):
-            y = ops.apply_stiffness(grid, x) \
-                + pe * ops.apply_convection(grid, u, v, x)
+            y = ops.apply_system(grid, u, v, x, pe)
             return y / jnp.linalg.norm(y)
         return lax.fori_loop(0, iters, body, x)
 

@@ -111,9 +111,16 @@ class FDM2D:
 
     # ------------------------------------------------------------------ #
     def _solve_impl(self, r: jax.Array) -> jax.Array:
+        """Solve for one RHS ``(N,)`` or a stacked batch ``(..., N)``.
+
+        Batched RHSs (e.g. both velocity components of a preconditioner
+        application) run as one set of batched matmuls — a single dispatch,
+        which matters because SEM-sized TPU matmuls are latency-bound.
+        """
         grid = self.grid
         dtype = r.dtype
-        R = r.reshape(grid.Ngx, grid.Ngy)
+        batch = r.shape[:-1]
+        R = r.reshape(batch + (grid.Ngx, grid.Ngy))
         ixg = self._ix[:, None]
         iyg = self._iy[None, :]
 
@@ -122,11 +129,13 @@ class FDM2D:
             Rb = jnp.where(bmask, R, 0.0)
             # interior RHS minus the coupling through boundary columns:
             # r_i - (K+αM)_ib u_b   (M is diagonal ⇒ only K couples)
-            Kub = ops.apply_stiffness(grid, Rb.reshape(-1)).reshape(R.shape)
+            flatb = Rb.reshape(-1, grid.N)
+            Kub = jax.vmap(lambda x: ops.apply_stiffness(grid, x))(flatb)
             if self.alpha != 0.0:
-                Kub = Kub + self.alpha * ops.apply_mass(
-                    grid, Rb.reshape(-1)).reshape(R.shape)
-            Rint = (R - Kub)[ixg, iyg]
+                Kub = Kub + self.alpha * jax.vmap(
+                    lambda x: ops.apply_mass(grid, x))(flatb)
+            Kub = Kub.reshape(R.shape)
+            Rint = (R - Kub)[..., ixg, iyg]
         else:
             Rb = jnp.zeros_like(R)
             Rint = R
@@ -141,11 +150,12 @@ class FDM2D:
         Uint = jnp.matmul(Zx, jnp.matmul(W, Zy.T, precision=hi),
                           precision=hi)
 
-        out = Rb.at[ixg, iyg].set(Uint) if self._has_boundary else Uint
-        return out.reshape(-1)
+        out = (Rb.at[..., ixg, iyg].set(Uint) if self._has_boundary
+               else Uint)
+        return out.reshape(batch + (grid.N,))
 
     def solve(self, r: jax.Array) -> jax.Array:
-        """Solve the masked system for RHS ``r`` (flat global vector)."""
+        """Solve the masked system for RHS ``r`` (flat, or stacked batch)."""
         return self._solve_jit(r)
 
     def __call__(self, r: jax.Array) -> jax.Array:

@@ -180,6 +180,20 @@ class Grid2D:
         return np.multiply.outer(self.m1x, self.m1y).reshape(-1)
 
     @functools.cached_property
+    def KG1x(self) -> np.ndarray:
+        """Stacked ``[K1x; G1x]`` (2·Ngx, Ngx): one left matmul computes both
+        the stiffness and weak-gradient x-applies — on TPU the matmuls at SEM
+        sizes are latency-bound, so fusing applies into fewer, larger matmuls
+        is the dominant optimization."""
+        return np.vstack([self.K1x, self.G1x])
+
+    @functools.cached_property
+    def KG1yT(self) -> np.ndarray:
+        """Stacked ``[K1yᵀ, G1yᵀ]`` (Ngy, 2·Ngy) — right-side analog of
+        :attr:`KG1x`."""
+        return np.hstack([self.K1y.T, self.G1y.T])
+
+    @functools.cached_property
     def stiff_diag(self) -> np.ndarray:
         """Diagonal of the global stiffness matrix, flat ``(N,)``:
         ``diag(K) = diag(K1x)⊗m1y + m1x⊗diag(K1y)`` (Jacobi scaling)."""

@@ -148,10 +148,10 @@ class ConvectionDiffusionSolver:
             def make_ops(xdtype):
                 ul = u.astype(xdtype)
                 vl = v.astype(xdtype)
+                pe = jnp.asarray(Pe, xdtype)
 
                 def mv(dT):
-                    r = Pe * ops.apply_convection(grid, ul, vl, dT) \
-                        + ops.apply_stiffness(grid, dT)
+                    r = ops.apply_system(grid, ul, vl, dT, pe)
                     return jnp.where(mask, dT, r)
 
                 return mv, fdm  # fdm is dtype-following and self-adjoint

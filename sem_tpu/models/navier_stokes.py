@@ -271,21 +271,46 @@ class NavierStokesSolver:
             jxx, jxy, jyx, jyy = tuple(j.astype(xdtype) for j in jac)
             md = mass_diag.astype(xdtype)
             sd = jnp.asarray(grid.stiff_diag.astype(xdtype))
-
-            def sysm(w):
-                return ops.apply_stiffness(grid, w) + Re * \
-                    ops.apply_convection(grid, ul, vl, w)
+            Ngx, Ngy = grid.Ngx, grid.Ngy
+            KGx = jnp.asarray(grid.KG1x.astype(xdtype))     # [K1x; G1x]
+            KGyT = jnp.asarray(grid.KG1yT.astype(xdtype))   # [K1yᵀ, G1yᵀ]
+            m1x = jnp.asarray(grid.m1x.astype(xdtype))[:, None]
+            m1y = jnp.asarray(grid.m1y.astype(xdtype))[None, :]
+            hi = lax.Precision.HIGHEST
 
             def mv(q):
+                # Fused coupled matvec: ALL twelve 1D operator products
+                # (K/Gx/Gy applied to du, dv, dp) come from exactly TWO
+                # large matmuls — at SEM sizes TPU matmuls are latency-bound,
+                # so minimizing matmul count dominates FLOP minimization.
+                DU = q[:N].reshape(Ngx, Ngy)
+                DV = q[N:2 * N].reshape(Ngx, Ngy)
+                DP = q[2 * N:].reshape(Ngx, Ngy)
+                Wc = jnp.concatenate([DU, DV, DP], axis=1)   # (Ngx, 3Ngy)
+                L = jnp.matmul(KGx, Wc, precision=hi)        # (2Ngx, 3Ngy)
+                Rc = jnp.concatenate([DU, DV, DP], axis=0)   # (3Ngx, Ngy)
+                R = jnp.matmul(Rc, KGyT, precision=hi)       # (3Ngx, 2Ngy)
+
+                def parts(f):  # f = 0:du, 1:dv, 2:dp
+                    Kx = L[:Ngx, f * Ngy:(f + 1) * Ngy]
+                    Gx = L[Ngx:, f * Ngy:(f + 1) * Ngy] * m1y
+                    Ky = R[f * Ngx:(f + 1) * Ngx, :Ngy]
+                    Gy = R[f * Ngx:(f + 1) * Ngx, Ngy:] * m1x
+                    K2d = (Kx * m1y + m1x * Ky).reshape(-1)
+                    return K2d, Gx.reshape(-1), Gy.reshape(-1)
+
+                Ku, gxu, gyu = parts(0)
+                Kv, gxv, gyv = parts(1)
+                Kp, gxp, gyp = parts(2)
                 du, dv, dp = q[:N], q[N:2 * N], q[2 * N:]
-                dru = sysm(du) + jxx * du + jxy * dv \
-                    + ops.apply_grad_x(grid, dp)
-                drv = jyx * du + sysm(dv) + jyy * dv \
-                    + ops.apply_grad_y(grid, dp)
-                drc = ops.apply_grad_x(grid, du) + ops.apply_grad_y(grid, dv)
+                dru = Ku + Re * (ul * gxu + vl * gyu) \
+                    + jxx * du + jxy * dv + gxp
+                drv = Kv + Re * (ul * gxv + vl * gyv) \
+                    + jyx * du + jyy * dv + gyp
+                drc = gxu + gyv
                 dru = jnp.where(mb, du, dru)
                 drv = jnp.where(mb, dv, drv)
-                drc = jnp.where(mb, ops.apply_stiffness(grid, dp), drc)
+                drc = jnp.where(mb, Kp, drc)
                 drc = jnp.where(pin, dp, drc)
                 return jnp.concatenate([dru, drv, drc])
 
@@ -298,9 +323,9 @@ class NavierStokesSolver:
                 dp = jnp.where(pin, rp, dp)
                 gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
                 gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
-                du = fdm(ru - gx)
-                dv = fdm(rv - gy)
-                return jnp.concatenate([du, dv, dp])
+                # both velocity FDM solves as one batched dispatch
+                duv = fdm(jnp.stack([ru - gx, rv - gy]))
+                return jnp.concatenate([duv[0], duv[1], dp])
 
             return mv, pc
 

@@ -224,6 +224,33 @@ def apply_convection(grid: Grid2D, u: jax.Array, v: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def apply_system(grid: Grid2D, u: jax.Array, v: jax.Array, w: jax.Array,
+                 coef) -> jax.Array:
+    """Fused system apply ``(K + coef·(u∂x + v∂y)) w`` in TWO matmuls.
+
+    The hot matvec of the CD solver (and the diffusion+convection part of
+    the NS momentum blocks).  Stiffness and weak-gradient applies share the
+    same operand, so the stacked operators :attr:`Grid2D.KG1x` /
+    :attr:`Grid2D.KG1yT` produce all four products from one left and one
+    right matmul — on TPU, SEM-sized matmuls are latency-bound, so fewer,
+    larger matmuls beat FLOP-minimal formulations.
+    """
+    W = grid_form(grid, w)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    hi = jax.lax.Precision.HIGHEST
+    KGx = jnp.asarray(grid.KG1x.astype(w.dtype))
+    KGyT = jnp.asarray(grid.KG1yT.astype(w.dtype))
+    m1x = jnp.asarray(grid.m1x.astype(w.dtype))[:, None]
+    m1y = jnp.asarray(grid.m1y.astype(w.dtype))[None, :]
+    L = jnp.matmul(KGx, W, precision=hi)     # [K1x@W ; G1x@W]
+    R = jnp.matmul(W, KGyT, precision=hi)    # [W@K1yᵀ , W@G1yᵀ]
+    K2d = L[:Ngx] * m1y + m1x * R[:, :Ngy]
+    gx = (L[Ngx:] * m1y).reshape(-1)
+    gy = (m1x * R[:, Ngy:]).reshape(-1)
+    return K2d.reshape(-1) + coef * (u * gx + v * gy)
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def conv_diag_x(grid: Grid2D, f: jax.Array) -> jax.Array:
     """Diagonal (as a vector) of the global operator ``Cx @ f`` (right slot).
 
