@@ -40,7 +40,7 @@ def build_coupled(L_x: float, L_y: float,
                   mode="JNK",
                   mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
                   mtol_gmres=1e-10, restart=20,
-                  mtol_internal=1e-13, iprint=True):
+                  mtol_internal=1e-13, mtol_precon=1e-4, iprint=True):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -62,7 +62,7 @@ def build_coupled(L_x: float, L_y: float,
                         mtol_nonlin=mtol_nonlin,
                         AGi=AGi, AGr=AGr, AGc=AGc,
                         mtol_gmres=mtol_gmres, restart=restart,
-                        iprint=iprint)
+                        mtol_precon=mtol_precon, iprint=iprint)
     return cd, ns, mda
 
 
@@ -74,7 +74,7 @@ def run(points_plot: typing.Tuple[np.ndarray, np.ndarray],
         mode="JNK",
         mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-10, restart=20,
-        mtol_internal=1e-13, iprint=True,
+        mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
         return_state=False):
     """Solve the coupled Boussinesq problem; return (T, u, v) at plot points.
 
@@ -86,7 +86,8 @@ def run(points_plot: typing.Tuple[np.ndarray, np.ndarray],
                                 P_cd, N_ex_cd, N_ey_cd,
                                 P_ns, N_ex_ns, N_ey_ns,
                                 mode, mtol_nonlin, AGi, AGr, AGc,
-                                mtol_gmres, restart, mtol_internal, iprint)
+                                mtol_gmres, restart, mtol_internal,
+                                mtol_precon, iprint)
     state = mda.solve()
 
     T_plot = cd._get_interpol(state.T, points_plot)

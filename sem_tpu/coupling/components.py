@@ -60,8 +60,8 @@ class ConvectionDiffusionComponent:
         return self.cd._get_dresiduals(dT_cd,
                                        *self.change_inputs(du_ns, dv_ns))
 
-    def solve_linear(self, d_residual, dT0=None):
-        out = self.cd._get_update(d_residual, dT0=dT0)
+    def solve_linear(self, d_residual, dT0=None, mtol=None):
+        out = self.cd._get_update(d_residual, dT0=dT0, mtol=mtol)
         self.iter_count_solve += 1
         return out
 
@@ -96,9 +96,9 @@ class NavierStokesComponent:
                                        self.change_inputs(dT_cd))
 
     def solve_linear(self, dres_u, dres_v, dres_cont,
-                     du0=None, dv0=None, dp0=None):
+                     du0=None, dv0=None, dp0=None, mtol=None):
         out = self.ns._get_update(dres_u, dres_v, dres_cont,
-                                  du0=du0, dv0=dv0, dp0=dp0)
+                                  du0=du0, dv0=dv0, dp0=dp0, mtol=mtol)
         self.iter_count_solve += 1
         return out
 

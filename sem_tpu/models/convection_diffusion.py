@@ -138,11 +138,13 @@ class ConvectionDiffusionSolver:
 
         eps = float(np.finfo(np.dtype(self._dtype)).eps)
 
-        def update(drhs, u, v, dT0):
+        def update(drhs, u, v, dT0, mtol_s):
             # convergence floor: absolute RMS tolerance or mtol relative to
-            # the RHS scale (absolute targets below roundoff are unreachable)
-            atol_eff = jnp.maximum(jnp.asarray(atol, drhs.dtype),
-                                   jnp.maximum(self._mtol, 50 * eps)
+            # the RHS scale (absolute targets below roundoff are unreachable);
+            # mtol_s is a traced scalar so per-call overrides (e.g. loose
+            # preconditioner solves in the MDA) reuse the compiled program
+            atol_eff = jnp.maximum(mtol_s * np.sqrt(self.N),
+                                   jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(drhs))
 
             def make_ops(xdtype):
@@ -191,17 +193,22 @@ class ConvectionDiffusionSolver:
         return self._dres_jit(place(dT, self._dtype), self._u, self._v,
                               jdu, jdv, du, dv)
 
-    def _get_update(self, dres, dT0=None):
+    def _get_update(self, dres, dT0=None, mtol=None):
         """Solve the tangent system for dT (reference :123-156).
 
         GMRES with FDM right preconditioning; raises RuntimeError on
         non-convergence like the reference (:149-150).
+
+        :param mtol: optional per-call RMS tolerance override (used by the
+            MDA to run preconditioner applications loosely)
         """
         dT0 = None if dT0 is None else place(dT0, self._dtype)
+        mtol_s = jnp.asarray(self._mtol if mtol is None else mtol,
+                             self._dtype)
         dT, info = self._update_jit(place(dres, self._dtype),
                                     self._u, self._v,
                                     jnp.zeros(self.N, self._dtype)
-                                    if dT0 is None else dT0)
+                                    if dT0 is None else dT0, mtol_s)
         self.last_info = info
         self.iter_count_solve += 1
         # roundoff-stalled solves return the best-achievable iterate and are

@@ -230,7 +230,7 @@ class NavierStokesSolver:
             """Inverse-diagonal-mass preconditioner (reference :208-212)."""
             return jnp.where(pin, c, c / mass_diag)
 
-        def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0):
+        def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0, mtol_s):
             """Full Uzawa update (reference :162-236), one XLA program."""
             # velocity pre-solve: A⁻¹ rhs_uv
             q_star, velo_info = solve_velo(res_u, res_v, u_lin, v_lin, jac,
@@ -248,8 +248,8 @@ class NavierStokesSolver:
             # or mtol relative to the RHS scale, whichever is larger — the
             # Schur matvec contains nested velocity solves whose f64 noise
             # makes absolute targets below roundoff·||b|| unreachable
-            atol_eff = jnp.maximum(jnp.asarray(atol_schur, dtype),
-                                   jnp.maximum(self._mtol, 50 * eps)
+            atol_eff = jnp.maximum(mtol_s * np.sqrt(N),
+                                   jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(b_schur))
             dp, schur_info = gmres(schur_mv, b_schur, x0=dp0,
                                    atol=atol_eff, restart=self._restart,
@@ -329,7 +329,8 @@ class NavierStokesSolver:
 
             return mv, pc
 
-        def update_coupled(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0):
+        def update_coupled(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0,
+                           mtol_s):
             """Single-level saddle-point solve: GMRES on the stacked
             (du,dv,dp) system with a block upper-triangular right
             preconditioner — no nested Krylov (the TPU-fast path).
@@ -345,9 +346,8 @@ class NavierStokesSolver:
             tolerance at f32 speed.
             """
             b = jnp.concatenate([res_u, res_v, res_cont])
-            atol = self._mtol * np.sqrt(3 * N)
-            atol_eff = jnp.maximum(jnp.asarray(atol, dtype),
-                                   jnp.maximum(self._mtol, 50 * eps)
+            atol_eff = jnp.maximum(mtol_s * np.sqrt(3 * N),
+                                   jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(b))
 
             mv64, pc64 = _coupled_ops(u_lin, v_lin, jac, dtype)
@@ -397,14 +397,20 @@ class NavierStokesSolver:
                               self._u_lin, self._v_lin, self._jac)
 
     def _get_update(self, dres_u, dres_v, dres_cont,
-                    du0=None, dv0=None, dp0=None):
-        """Uzawa/pressure-Schur solve for (du, dv, dp) (reference :162-236)."""
+                    du0=None, dv0=None, dp0=None, mtol=None):
+        """Linear solve for (du, dv, dp) (reference :162-236).
+
+        :param mtol: optional per-call RMS tolerance override (used by the
+            MDA to run preconditioner applications loosely)
+        """
         dp0 = (jnp.zeros(self.N, self._dtype) if dp0 is None
                else place(dp0, self._dtype))
+        mtol_s = jnp.asarray(self._mtol if mtol is None else mtol,
+                             self._dtype)
         du, dv, dp, schur_info, velo_info = self._update_jit(
             place(dres_u, self._dtype), place(dres_v, self._dtype),
             place(dres_cont, self._dtype),
-            self._u_lin, self._v_lin, self._jac, dp0)
+            self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
         self.last_schur_info = schur_info
         self.last_velo_info = velo_info
         self.iter_count_solve += 1
