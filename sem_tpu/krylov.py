@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gmres", "refined_gmres", "cg", "KrylovInfo"]
+__all__ = ["gmres", "refined_gmres", "refined_gmres_host", "cg",
+           "KrylovInfo"]
 
 
 class KrylovInfo(NamedTuple):
@@ -239,6 +240,68 @@ def refined_gmres(make_ops: Callable, b: jax.Array,
     x, rn, it = st[1], st[2], st[3]
     return x, KrylovInfo(converged=rn <= atol, iterations=it, resnorm=rn,
                          stalled=rn > atol)
+
+
+def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
+                       b: jax.Array, x0: jax.Array, *,
+                       atol: float, maxiter: int, max_refine: int = 12,
+                       inner_rtol: float = 1e-5, lp_dtype=jnp.float32):
+    """Host-orchestrated mixed-precision GMRES (see :func:`refined_gmres`).
+
+    Same algorithm as :func:`refined_gmres` — f32 left-preconditioned inner
+    solves inside an f64 iterative-refinement loop with best-iterate
+    tracking — but orchestrated at the host level with *bounded-size device
+    dispatches*:
+
+    * a single all-fused megakernel (while-in-while-in-cond) provokes XLA
+      compile failures at large problem sizes, and
+    * a single multi-minute device dispatch can exceed accelerator-runtime
+      watchdogs (observed as "TPU worker crashed" on long Krylov loops);
+
+    chunking the inner GMRES into warm-started segments bounds both, at the
+    cost of ≤ a few dozen host round trips per solve.
+
+    :param cres: jitted ``cres(x) -> b - A x`` in the outer (f64) dtype
+    :param pc_lp: jitted low-precision preconditioner ``M⁻¹(r_lp)``
+    :param gmres_chunk: jitted ``gmres_chunk(rhs_lp, x0_lp, atol_lp) ->
+        (x_lp, KrylovInfo)`` running a *bounded* number of iterations of
+        left-preconditioned GMRES on ``M⁻¹A x = rhs_lp``
+    :return: (x, KrylovInfo)
+    """
+    dtype = b.dtype
+    x, x_best = x0, x0
+    rn_best = float("inf")
+    prev = float("inf")
+    total_it = 0
+    rn = float("inf")
+    for _ in range(max_refine + 1):
+        r = cres(x)
+        rn = float(jnp.linalg.norm(r))
+        if rn < rn_best:
+            x_best, rn_best = x, rn
+        if rn <= atol or rn > 0.9 * prev or not jnp.isfinite(rn):
+            break
+        prev = rn
+        rp = pc_lp(r.astype(lp_dtype))
+        atol_lp = jnp.asarray(inner_rtol * float(jnp.linalg.norm(rp)),
+                              lp_dtype)
+        xin = jnp.zeros_like(rp)
+        spent = 0
+        while spent < maxiter:
+            xin, info = gmres_chunk(rp, xin, atol_lp)
+            done_chunk = int(info.iterations)
+            spent += done_chunk
+            total_it += done_chunk
+            if (bool(info.converged) or bool(info.stalled)
+                    or done_chunk == 0):
+                break
+        x = x + xin.astype(dtype)
+
+    info = KrylovInfo(converged=jnp.asarray(rn_best <= atol),
+                      iterations=jnp.int32(total_it),
+                      resnorm=jnp.asarray(rn_best, dtype),
+                      stalled=jnp.asarray(rn_best > atol))
+    return x_best, info
 
 
 def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,

@@ -46,7 +46,7 @@ from jax import lax
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres, refined_gmres, KrylovInfo
+from sem_tpu.krylov import gmres, refined_gmres_host, KrylovInfo
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -329,47 +329,92 @@ class NavierStokesSolver:
 
             return mv, pc
 
-        def update_coupled(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0,
-                           mtol_s):
-            """Single-level saddle-point solve: GMRES on the stacked
-            (du,dv,dp) system with a block upper-triangular right
-            preconditioner — no nested Krylov (the TPU-fast path).
+        def update_coupled_f64(res_u, res_v, res_cont, u_lin, v_lin, jac,
+                               dp0, mtol_s):
+            """Pure-f64 single-level saddle-point solve (mixed_precision off).
 
-            Preconditioner: dp = Ŝ⁻¹ r_p (diagonal GLL mass ≈ the Schur
-            complement, as the reference's own Schur preconditioner
-            :208-212), then velocity blocks du = Â⁻¹(r_u − ∇x dp) with
-            Â⁻¹ = the exact FDM inverse of the masked Laplacian.
-
-            Mixed precision: the Krylov loop runs in float32 (f64 matmuls
-            are software-emulated on the TPU MXU) inside an f64 iterative-
-            refinement loop, so the returned update satisfies the full f64
-            tolerance at f32 speed.
+            GMRES on the stacked (du,dv,dp) system with a block upper-
+            triangular right preconditioner (dp = Ŝ⁻¹ r_p with the diagonal
+            GLL mass ≈ the Schur complement, as the reference's own Schur
+            preconditioner :208-212; velocity blocks du = Â⁻¹(r_u − ∇x dp)
+            with Â⁻¹ the exact FDM inverse).
             """
             b = jnp.concatenate([res_u, res_v, res_cont])
             atol_eff = jnp.maximum(mtol_s * np.sqrt(3 * N),
                                    jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(b))
-
             mv64, pc64 = _coupled_ops(u_lin, v_lin, jac, dtype)
-            if not self._mixed_precision:
-                q0 = jnp.concatenate([zero(), zero(), dp0])
-                q, info = gmres(mv64, b, x0=q0, atol=atol_eff,
-                                restart=self._restart,
-                                maxiter=self._maxiter, precon=pc64)
-                return q[:N], q[N:2 * N], q[2 * N:], info, info
+            q0 = jnp.concatenate([zero(), zero(), dp0])
+            q, info = gmres(mv64, b, x0=q0, atol=atol_eff,
+                            restart=self._restart,
+                            maxiter=self._maxiter, precon=pc64)
+            return q[:N], q[N:2 * N], q[2 * N:], info, info
 
-            x0 = jnp.concatenate([zero(), zero(), dp0])
-            x, info = refined_gmres(
-                lambda xd: _coupled_ops(u_lin, v_lin, jac, xd), b, x0=x0,
-                atol=atol_eff, restart=self._restart, maxiter=self._maxiter,
-                max_refine=self._max_refine)
-            return x[:N], x[N:2 * N], x[2 * N:], info, info
+        # --- separately-jitted pieces of the mixed-precision refinement ---
+        # The refinement loop itself runs at host level (<= max_refine trips,
+        # negligible dispatch cost): one all-fused megakernel (while-in-
+        # while-in-cond) provokes XLA compile failures at north-star sizes,
+        # and small programs compile in seconds instead of minutes.
+        lp = jnp.float32
+
+        def coupled_resid(x, b, u_lin, v_lin, jac):
+            mv64, _ = _coupled_ops(u_lin, v_lin, jac, dtype)
+            return b - mv64(x)
+
+        def coupled_pc32(r32):
+            _, pc32 = _coupled_ops(jnp.zeros(N, lp), jnp.zeros(N, lp),
+                                   tuple(jnp.zeros(N, lp) for _ in range(4)),
+                                   lp)  # pc is independent of linearization
+            return pc32(r32)
+
+        def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32):
+            # bounded chunk of left-preconditioned f32 GMRES (warm-started);
+            # chunking keeps each device dispatch within runtime watchdogs
+            mv32, pc32 = _coupled_ops(ul32, vl32, jac32, lp)
+            return gmres(lambda q: pc32(mv32(q)), rp32, x0=x032, atol=atol32,
+                         restart=self._restart,
+                         maxiter=2 * self._restart + 5)
 
         self._residual_jit = jax.jit(residual)
         self._jac_diags_jit = jax.jit(jac_diags)
         self._dres_jit = jax.jit(dres)
         self._update_jit = jax.jit(update if self._linear_solver == "uzawa"
-                                   else update_coupled)
+                                   else update_coupled_f64)
+        self._cres_jit = jax.jit(coupled_resid)
+        self._pc32_jit = jax.jit(coupled_pc32)
+        self._gmres32_jit = jax.jit(coupled_gmres32)
+
+    def _update_coupled_mixed(self, res_u, res_v, res_cont, dp0, mtol):
+        """Host-level f64 iterative refinement around jitted f32 GMRES.
+
+        Left-preconditioned f32 inner solves (raw SEM row scales span ~1e7,
+        beyond f32 resolution; in the preconditioned norm the rows are O(1));
+        the f64 refinement enforces the TRUE residual tolerance and keeps the
+        best iterate.
+        """
+        N = self.N
+        dtype = self._dtype
+        lp = jnp.float32
+        eps = float(np.finfo(np.dtype(dtype)).eps)
+        b = jnp.concatenate([place(res_u, dtype), place(res_v, dtype),
+                             place(res_cont, dtype)])
+        normb = float(jnp.linalg.norm(b))
+        atol_eff = max(mtol * np.sqrt(3 * N), max(mtol, 50 * eps) * normb)
+
+        ul32 = self._u_lin.astype(lp)
+        vl32 = self._v_lin.astype(lp)
+        jac32 = tuple(j.astype(lp) for j in self._jac)
+
+        x0 = jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
+        x, info = refined_gmres_host(
+            cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
+                                          self._jac),
+            pc_lp=self._pc32_jit,
+            gmres_chunk=lambda rp, xin, atol_lp: self._gmres32_jit(
+                rp, xin, atol_lp, ul32, vl32, jac32),
+            b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
+            max_refine=self._max_refine)
+        return x[:N], x[N:2 * N], x[2 * N:], info, info
 
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, u, v, p, T):
@@ -405,12 +450,16 @@ class NavierStokesSolver:
         """
         dp0 = (jnp.zeros(self.N, self._dtype) if dp0 is None
                else place(dp0, self._dtype))
-        mtol_s = jnp.asarray(self._mtol if mtol is None else mtol,
-                             self._dtype)
-        du, dv, dp, schur_info, velo_info = self._update_jit(
-            place(dres_u, self._dtype), place(dres_v, self._dtype),
-            place(dres_cont, self._dtype),
-            self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
+        mtol_f = float(self._mtol if mtol is None else mtol)
+        if self._linear_solver == "coupled" and self._mixed_precision:
+            du, dv, dp, schur_info, velo_info = self._update_coupled_mixed(
+                dres_u, dres_v, dres_cont, dp0, mtol_f)
+        else:
+            mtol_s = jnp.asarray(mtol_f, self._dtype)
+            du, dv, dp, schur_info, velo_info = self._update_jit(
+                place(dres_u, self._dtype), place(dres_v, self._dtype),
+                place(dres_cont, self._dtype),
+                self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
         self.last_schur_info = schur_info
         self.last_velo_info = velo_info
         self.iter_count_solve += 1
