@@ -63,6 +63,7 @@ class NavierStokesSolver:
                  restart_velo: int = 60, maxiter_velo: int = 4000,
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
+                 schur_precon: str = "mass",
                  dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
@@ -78,9 +79,16 @@ class NavierStokesSolver:
             reference (pressure-Schur GMRES with exact inner velocity
             solves); ``'coupled'`` — one flexible-free GMRES on the full
             (du,dv,dp) saddle system with a block upper-triangular
-            preconditioner (FDM velocity blocks + diagonal-mass Schur
-            approximation), avoiding the nested Krylov entirely — the
-            faster TPU-native path
+            preconditioner (FDM velocity blocks + approximate Schur
+            inverse), avoiding the nested Krylov entirely — the faster
+            TPU-native path
+        :param schur_precon: Schur-block approximation of the coupled
+            preconditioner: ``'mass'`` — inverse diagonal GLL mass (the
+            reference's choice, :208-212; iteration counts grow with
+            resolution); ``'pcd'`` — pressure convection-diffusion
+            Ŝ⁻¹ = M⁻¹ F_p A_p⁻¹ with A_p the FDM pseudo-inverse of the
+            Neumann pressure Laplacian and F_p the convection-diffusion
+            operator (near-resolution-independent iteration counts)
         """
         self._iprint = list(iprint)
         self._Re = float(Re)
@@ -98,6 +106,9 @@ class NavierStokesSolver:
         if linear_solver not in ("uzawa", "coupled"):
             raise ValueError("linear_solver must be 'uzawa' or 'coupled'")
         self._linear_solver = linear_solver
+        if schur_precon not in ("mass", "pcd"):
+            raise ValueError("schur_precon must be 'mass' or 'pcd'")
+        self._schur_precon = schur_precon
         # mixed precision: float32 Krylov loops inside float64 iterative
         # refinement (f64 matmuls are software-emulated on TPU MXUs); the
         # refinement loop restores full f64 accuracy ('coupled' path only)
@@ -133,6 +144,10 @@ class NavierStokesSolver:
         # exact masked-Laplacian inverse for the velocity blocks
         self._fdm = FDM2D(self.grid, dirichlet_x=(True, True),
                           dirichlet_y=(True, True))
+        # pure-Neumann pressure Laplacian pseudo-inverse (PCD Schur block)
+        self._fdm_p = (FDM2D(self.grid, dirichlet_x=(False, False),
+                             dirichlet_y=(False, False))
+                       if schur_precon == "pcd" else None)
 
         # linearization state (u, v of the last _calc_jacobians; convection
         # Jacobian diagonals — reference :123-136 keeps 4 CSR matrices)
@@ -316,10 +331,23 @@ class NavierStokesSolver:
 
             def pc(r):
                 ru, rv, rp = r[:N], r[N:2 * N], r[2 * N:]
-                # Schur block: diagonal mass on interior continuity rows,
-                # diagonal stiffness on the artificial ∂ₙp=0 boundary rows,
-                # identity at the pin
-                dp = jnp.where(mb, rp / sd, rp / md)
+                if self._schur_precon == "pcd":
+                    # pressure convection-diffusion Schur approximation:
+                    # Ŝ⁻¹ ≈ M⁻¹ F_p A_p⁻¹ (Elman-Silvester-Wathen), with
+                    # A_p⁻¹ the FDM pseudo-inverse of the Neumann pressure
+                    # Laplacian and F_p = K + Re·(u∂x + v∂y) on pressure.
+                    # The masked rows (∂ₙp=0 boundary rows, pin) carry a
+                    # different scale and are excluded from the Poisson solve.
+                    rp_int = jnp.where(mb | pin, 0.0, rp)
+                    t = self._fdm_p(rp_int)
+                    s_ = ops.apply_system(grid, ul, vl, t,
+                                          jnp.asarray(Re, xdtype))
+                    dp = s_ / md
+                else:
+                    # reference's diagonal GLL mass (:208-212)
+                    dp = rp / md
+                # artificial ∂ₙp=0 rows carry stiffness scale; pin row = id
+                dp = jnp.where(mb, rp / sd, dp)
                 dp = jnp.where(pin, rp, dp)
                 gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
                 gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
@@ -361,10 +389,10 @@ class NavierStokesSolver:
             mv64, _ = _coupled_ops(u_lin, v_lin, jac, dtype)
             return b - mv64(x)
 
-        def coupled_pc32(r32):
-            _, pc32 = _coupled_ops(jnp.zeros(N, lp), jnp.zeros(N, lp),
+        def coupled_pc32(r32, ul32, vl32):
+            _, pc32 = _coupled_ops(ul32, vl32,
                                    tuple(jnp.zeros(N, lp) for _ in range(4)),
-                                   lp)  # pc is independent of linearization
+                                   lp)  # pc ignores the Jacobian diagonals
             return pc32(r32)
 
         def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32):
@@ -409,7 +437,7 @@ class NavierStokesSolver:
         x, info = refined_gmres_host(
             cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
                                           self._jac),
-            pc_lp=self._pc32_jit,
+            pc_lp=lambda r32: self._pc32_jit(r32, ul32, vl32),
             gmres_chunk=lambda rp, xin, atol_lp: self._gmres32_jit(
                 rp, xin, atol_lp, ul32, vl32, jac32),
             b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
