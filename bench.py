@@ -28,6 +28,7 @@ sys.path.insert(0, ".")
 
 from sem_tpu import operators as ops
 from sem_tpu.mesh import Grid2D
+from sem_tpu.ops import apply_system_best
 
 
 def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
@@ -39,7 +40,7 @@ def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
     @jax.jit
     def many(x):
         def body(_, x):
-            y = ops.apply_system(grid, u, v, x, pe)
+            y = apply_system_best(grid, u, v, x, pe)
             return y / jnp.linalg.norm(y)
         return lax.fori_loop(0, iters, body, x)
 

@@ -148,12 +148,13 @@ class ConvectionDiffusionSolver:
                                    * jnp.linalg.norm(drhs))
 
             def make_ops(xdtype):
+                from sem_tpu.ops import apply_system_best
                 ul = u.astype(xdtype)
                 vl = v.astype(xdtype)
                 pe = jnp.asarray(Pe, xdtype)
 
                 def mv(dT):
-                    r = ops.apply_system(grid, ul, vl, dT, pe)
+                    r = apply_system_best(grid, ul, vl, dT, pe)
                     return jnp.where(mask, dT, r)
 
                 return mv, fdm  # fdm is dtype-following and self-adjoint
