@@ -46,7 +46,7 @@ class ConvectionDiffusionSolver:
                  T_W: float = None, T_E: float = None,
                  T_S: float = None, T_N: float = None,
                  mtol: float = 1e-7, iprint: list = (),
-                 restart: int = 40, maxiter: int = 5000,
+                 restart: int = None, maxiter: int = 5000,
                  mixed_precision: bool = True,
                  dtype=jnp.float64):
         """
@@ -58,13 +58,18 @@ class ConvectionDiffusionSolver:
         :param mtol: tolerance on RMS residual for the linear solve
             (absolute tolerance = mtol·√N, reference convention :147)
         :param iprint: diagnostics tags; supports 'LGMRES_suc' (solve summary)
-        :param restart: GMRES restart window
+        :param restart: GMRES restart window (None ⇒ auto-sized: large
+            windows prevent restarted-GMRES stagnation at high Peclet; capped
+            by a ~2 GB Krylov basis and at 200)
         :param maxiter: GMRES max total iterations
         :param dtype: compute dtype (float64 default for spectral accuracy)
         """
         self._iprint = list(iprint)
         self._Pe = float(Pe)
         self._mtol = float(mtol)
+        Nn = (N_ex * P + 1) * (N_ey * P + 1)
+        if restart is None:
+            restart = min(200, max(60, int(2e9 / (4 * Nn))))
         self._restart = int(restart)
         self._maxiter = int(maxiter)
         # float32 Krylov loop inside float64 iterative refinement (f64

@@ -59,7 +59,7 @@ class NavierStokesSolver:
                  v_W: float = 0, v_E: float = 0, u_S: float = 0, u_N: float = 0,
                  mtol: float = 1e-7, mtol_newton: float = 1e-5,
                  iprint: list = ("NEWTON_suc", "NEWTON_iter"),
-                 restart: int = 60, maxiter: int = 5000,
+                 restart: int = None, maxiter: int = 5000,
                  restart_velo: int = 60, maxiter_velo: int = 4000,
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
@@ -71,7 +71,11 @@ class NavierStokesSolver:
         :param mtol: RMS tolerance of the pressure-Schur GMRES
         :param mtol_newton: RMS tolerance of the Newton iteration
         :param iprint: tags among {'NEWTON_iter','NEWTON_suc','LGMRES_suc','VELO_suc'}
-        :param restart/maxiter: Schur GMRES parameters
+        :param restart/maxiter: GMRES window / total-iteration cap.  Default
+            (None) auto-sizes the window: restarted GMRES stagnates on
+            convection-dominated systems when the window is too small (e.g.
+            the Re=400 cavity needs ~150+), so the window is made as large
+            as a ~2 GB Krylov basis allows, capped at 200
         :param restart_velo/maxiter_velo: velocity-block GMRES parameters
         :param max_newton: safety cap on Newton iterations (reference loops
             unboundedly, reference :253)
@@ -98,6 +102,9 @@ class NavierStokesSolver:
         self._Gr_over_Re = self._Gr / self._Re if self._Re != 0 else 0.0
         self._mtol = float(mtol)
         self._mtol_newton = float(mtol_newton)
+        N3 = 3 * (N_ex * P + 1) * (N_ey * P + 1)
+        if restart is None:
+            restart = min(200, max(60, int(2e9 / (4 * N3))))
         self._restart = int(restart)
         self._maxiter = int(maxiter)
         self._restart_velo = int(restart_velo)
