@@ -65,8 +65,9 @@ class ConvectionDiffusionComponent:
         self.iter_count_solve += 1
         return out
 
-    def solve_nonlinear(self, u_ns, v_ns, T0=None):
-        out = self.cd._get_solution(*self.change_inputs(u_ns, v_ns), T0=T0)
+    def solve_nonlinear(self, u_ns, v_ns, T0=None, mtol=None):
+        out = self.cd._get_solution(*self.change_inputs(u_ns, v_ns), T0=T0,
+                                    mtol=mtol)
         self.iter_count_solve += 1  # problem linear: one update per solve
         return out
 
@@ -102,8 +103,8 @@ class NavierStokesComponent:
         self.iter_count_solve += 1
         return out
 
-    def solve_nonlinear(self, T_cd, u0=None, v0=None, p0=None):
+    def solve_nonlinear(self, T_cd, u0=None, v0=None, p0=None, mtol=None):
         out = self.ns._get_solution(self.change_inputs(T_cd),
-                                    u0=u0, v0=v0, p0=p0)
+                                    u0=u0, v0=v0, p0=p0, mtol=mtol)
         self.iter_count_solve += self.ns._k  # inner-Newton update count
         return out

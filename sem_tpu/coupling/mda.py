@@ -142,6 +142,12 @@ class BoussinesqMDA:
     :param restart: coupled GMRES restart (JNK)
     :param maxiter: nonlinear iteration cap (reference: 1000 for GS/NJ,
         100 for JNK)
+    :param mtol_subsolve: RMS tolerance of the Newton modes' iteration-0
+        Gauss-Seidel subsystem sweep (an initializer only — the coupled
+        Newton converges the true residual afterwards; the reference runs it
+        at the full internal tolerance).  None = solver internal tolerances.
+        GS mode always uses the internal tolerances (its convergence is
+        limited by subsolve accuracy).
     :param mtol_precon: RMS tolerance of the block-Jacobi *preconditioner*
         solves inside JNK's flexible GMRES.  The reference runs these at the
         full internal tolerance (mtol_internal=1e-13) because OpenMDAO's
@@ -159,7 +165,8 @@ class BoussinesqMDA:
                  AGi: int = 8, AGr: float = 0.8, AGc: float = 0.2,
                  mtol_gmres: float = 1e-10, restart: int = 20,
                  maxiter: int = None, gmres_maxiter: int = 5000,
-                 mtol_precon: float = 1e-4, iprint: bool = True):
+                 mtol_precon: float = 1e-4, mtol_subsolve: float = 1e-6,
+                 iprint: bool = True):
         if mode not in ("GS", "NJ", "JNK"):
             raise ValueError("Unknown method")  # parity: reference :93
         self.cd_comp = cd_comp
@@ -174,6 +181,7 @@ class BoussinesqMDA:
         self.restart = restart
         self.gmres_maxiter = gmres_maxiter
         self.mtol_precon = mtol_precon
+        self.mtol_subsolve = mtol_subsolve
         self.maxiter = maxiter if maxiter is not None else (
             100 if mode == "JNK" else 1000)
         self.iprint = iprint
@@ -213,11 +221,12 @@ class BoussinesqMDA:
         du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol)
         return self._pack(dT, du, dv, dp)
 
-    def _gs_sweep(self, s: CoupledState) -> CoupledState:
+    def _gs_sweep(self, s: CoupledState, mtol=None) -> CoupledState:
         """One nonlinear Gauss-Seidel sweep: CD first, then NS (the
         reference's component ordering, reference :70-71)."""
-        T = self.cd_comp.solve_nonlinear(s.u, s.v, T0=s.T)
-        u, v, p = self.ns_comp.solve_nonlinear(T, u0=s.u, v0=s.v, p0=s.p)
+        T = self.cd_comp.solve_nonlinear(s.u, s.v, T0=s.T, mtol=mtol)
+        u, v, p = self.ns_comp.solve_nonlinear(T, u0=s.u, v0=s.v, p0=s.p,
+                                               mtol=mtol)
         return CoupledState(T, u, v, p)
 
     def _print(self, tag, k, norm):
@@ -255,7 +264,9 @@ class BoussinesqMDA:
 
     def _solve_newton(self, s: CoupledState, krylov: bool) -> CoupledState:
         # iteration-0 subsystem solve (solve_subsystems=True, max_sub_solves=0)
-        s = self._gs_sweep(s)
+        # — an initializer, run loosely (mtol_subsolve); Newton then converges
+        # the true coupled residual
+        s = self._gs_sweep(s, mtol=self.mtol_subsolve)
         F = self._residuals(s)
         norm = np.linalg.norm(F)
         for k in range(1, self.maxiter + 1):

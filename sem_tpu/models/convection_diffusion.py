@@ -232,12 +232,15 @@ class ConvectionDiffusionSolver:
                   f"{float(info.resnorm):.3e}")
         return dT
 
-    def _get_solution(self, u, v, T0=None):
-        """Single Newton step — the problem is linear in T (reference :158-170)."""
+    def _get_solution(self, u, v, T0=None, mtol=None):
+        """Single Newton step — the problem is linear in T (reference :158-170).
+
+        :param mtol: optional RMS tolerance override for this solve
+        """
         T = (jnp.zeros(self.N, self._dtype) if T0 is None
              else place(T0, self._dtype))
         res = self._get_residuals(T, u, v)
-        dT = self._get_update(-res)
+        dT = self._get_update(-res, mtol=mtol)
         return T + dT
 
     def _get_vector(self, f_func: typing.Callable) -> np.ndarray:

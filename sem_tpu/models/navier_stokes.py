@@ -522,15 +522,20 @@ class NavierStokesSolver:
                   f"converged={bool(velo_info.converged)}")
         return du, dv, dp
 
-    def _get_solution(self, T, u0=None, v0=None, p0=None):
-        """Newton iteration to RMS tolerance (reference :238-270)."""
+    def _get_solution(self, T, u0=None, v0=None, p0=None, mtol=None):
+        """Newton iteration to RMS tolerance (reference :238-270).
+
+        :param mtol: optional RMS tolerance override for this solve (applies
+            to both the Newton test and the inner linear solves — used by the
+            MDA to run the iteration-0 subsystem sweep loosely)
+        """
         z = jnp.zeros(self.N, self._dtype)
         u = z if u0 is None else place(u0, self._dtype)
         v = z if v0 is None else place(v0, self._dtype)
         p = z if p0 is None else place(p0, self._dtype)
         T = place(T, self._dtype)
 
-        atol = self._mtol_newton * np.sqrt(self.N * 3)
+        atol = (self._mtol_newton if mtol is None else mtol)             * np.sqrt(self.N * 3)
         self._k = 0
         while True:
             ru, rv, rc = self._get_residuals(u, v, p, T)
@@ -550,7 +555,7 @@ class NavierStokesSolver:
                     f"NavierStokes NEWTON: no convergence in {self._k} "
                     f"iterations (residual {norm:.3e}, target {atol:.3e})")
             self._calc_jacobians(u, v)
-            du, dv, dp = self._get_update(-ru, -rv, -rc)
+            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol)
             u = u + du
             v = v + dv
             p = p + dp
