@@ -54,7 +54,6 @@ def _banded_constants(grid: Grid2D, dtype_name: str):
         out[offset:offset + A.shape[0], offset:offset + A.shape[1]] = A
         return out
 
-    KGx = np.concatenate([grid.K1x, grid.G1x], axis=0)   # (2Ngx, Ngx)
     # x-direction banded blocks: for each row block i (of the unpadded
     # array, living at padded block i+1), keep columns of blocks i-1..i+1
     K1xp = pad_mat(grid.K1x.astype(dt), Cx, _B)
