@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres, refined_gmres
+from sem_tpu.krylov import gmres, refined_gmres_host
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -143,7 +143,19 @@ class ConvectionDiffusionSolver:
 
         eps = float(np.finfo(np.dtype(self._dtype)).eps)
 
-        def update(drhs, u, v, dT0, mtol_s):
+        def _make_mv(u, v, xdtype):
+            from sem_tpu.ops import apply_system_best
+            ul = u.astype(xdtype)
+            vl = v.astype(xdtype)
+            pe = jnp.asarray(Pe, xdtype)
+
+            def mv(dT):
+                r = apply_system_best(grid, ul, vl, dT, pe)
+                return jnp.where(mask, dT, r)
+
+            return mv
+
+        def update_f64(drhs, u, v, dT0, mtol_s):
             # convergence floor: absolute RMS tolerance or mtol relative to
             # the RHS scale (absolute targets below roundoff are unreachable);
             # mtol_s is a traced scalar so per-call overrides (e.g. loose
@@ -151,30 +163,29 @@ class ConvectionDiffusionSolver:
             atol_eff = jnp.maximum(mtol_s * np.sqrt(self.N),
                                    jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(drhs))
-
-            def make_ops(xdtype):
-                from sem_tpu.ops import apply_system_best
-                ul = u.astype(xdtype)
-                vl = v.astype(xdtype)
-                pe = jnp.asarray(Pe, xdtype)
-
-                def mv(dT):
-                    r = apply_system_best(grid, ul, vl, dT, pe)
-                    return jnp.where(mask, dT, r)
-
-                return mv, fdm  # fdm is dtype-following and self-adjoint
-
-            if self._mixed_precision:
-                return refined_gmres(make_ops, drhs, x0=dT0, atol=atol_eff,
-                                     restart=restart, maxiter=maxiter)
-            mv64, _ = make_ops(drhs.dtype)
+            mv64 = _make_mv(u, v, drhs.dtype)
             return gmres(mv64, drhs, x0=dT0, atol=atol_eff, restart=restart,
                          maxiter=maxiter, precon=fdm)
+
+        # separately-jitted pieces of the host-orchestrated mixed-precision
+        # refinement (bounded dispatches — see krylov.refined_gmres_host)
+        lp = jnp.float32
+
+        def cd_resid(x, b, u, v):
+            return b - _make_mv(u, v, self._dtype)(x)
+
+        def cd_gmres32(rp32, x032, atol32, ul32, vl32):
+            mv32 = _make_mv(ul32, vl32, lp)
+            return gmres(lambda q: fdm(mv32(q)), rp32, x0=x032, atol=atol32,
+                         restart=restart, maxiter=2 * restart + 5)
 
         self._residual_jit = jax.jit(residual)
         self._dres_jit = jax.jit(dres)
         self._jac_diags_jit = jax.jit(jac_diags)
-        self._update_jit = jax.jit(update)
+        self._update_jit = jax.jit(update_f64)
+        self._cres_jit = jax.jit(cd_resid)
+        self._pc32_jit = jax.jit(lambda r32: fdm(r32))
+        self._gmres32_jit = jax.jit(cd_gmres32)
 
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, T, u, v):
@@ -208,13 +219,15 @@ class ConvectionDiffusionSolver:
         :param mtol: optional per-call RMS tolerance override (used by the
             MDA to run preconditioner applications loosely)
         """
-        dT0 = None if dT0 is None else place(dT0, self._dtype)
-        mtol_s = jnp.asarray(self._mtol if mtol is None else mtol,
-                             self._dtype)
-        dT, info = self._update_jit(place(dres, self._dtype),
-                                    self._u, self._v,
-                                    jnp.zeros(self.N, self._dtype)
-                                    if dT0 is None else dT0, mtol_s)
+        dT0 = (jnp.zeros(self.N, self._dtype) if dT0 is None
+               else place(dT0, self._dtype))
+        drhs = place(dres, self._dtype)
+        mtol_f = float(self._mtol if mtol is None else mtol)
+        if self._mixed_precision:
+            dT, info = self._update_mixed(drhs, dT0, mtol_f)
+        else:
+            dT, info = self._update_jit(drhs, self._u, self._v, dT0,
+                                        jnp.asarray(mtol_f, self._dtype))
         self.last_info = info
         self.iter_count_solve += 1
         # roundoff-stalled solves return the best-achievable iterate and are
@@ -231,6 +244,22 @@ class ConvectionDiffusionSolver:
                   f"{int(info.iterations)} iterations with resnorm "
                   f"{float(info.resnorm):.3e}")
         return dT
+
+    def _update_mixed(self, drhs, dT0, mtol):
+        """Host-level f64 refinement around chunked f32 GMRES (bounded device
+        dispatches — see :func:`sem_tpu.krylov.refined_gmres_host`)."""
+        lp = jnp.float32
+        eps = float(np.finfo(np.dtype(self._dtype)).eps)
+        normb = float(jnp.linalg.norm(drhs))
+        atol_eff = max(mtol * np.sqrt(self.N), max(mtol, 50 * eps) * normb)
+        ul32 = self._u.astype(lp)
+        vl32 = self._v.astype(lp)
+        return refined_gmres_host(
+            cres=lambda x: self._cres_jit(x, drhs, self._u, self._v),
+            pc_lp=self._pc32_jit,
+            gmres_chunk=lambda rp, xin, a: self._gmres32_jit(rp, xin, a,
+                                                             ul32, vl32),
+            b=drhs, x0=dT0, atol=atol_eff, maxiter=self._maxiter)
 
     def _get_solution(self, u, v, T0=None, mtol=None):
         """Single Newton step — the problem is linear in T (reference :158-170).
