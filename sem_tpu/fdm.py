@@ -90,6 +90,13 @@ class FDM2D:
             iy = iy[:-1]
         self._ix, self._iy = ix, iy
         self._has_boundary = (len(ix) < grid.Ngx) or (len(iy) < grid.Ngy)
+        # interior index sets are contiguous ranges (whole-side Dirichlet
+        # masks only), so interior extraction/insertion compiles to static
+        # slices / dynamic_update_slice — never a TPU gather/scatter, which
+        # at north-star grids costs ~100x the FDM matmuls themselves
+        self._x0, self._x1 = int(ix[0]), int(ix[-1]) + 1
+        self._y0, self._y1 = int(iy[0]), int(iy[-1]) + 1
+        assert self._x1 - self._x0 == len(ix) and self._y1 - self._y0 == len(iy)
 
         lx, Zx = _eig_1d(grid.K1x, grid.m1x, ix)
         ly, Zy = _eig_1d(grid.K1y, grid.m1y, iy)
@@ -121,8 +128,7 @@ class FDM2D:
         dtype = r.dtype
         batch = r.shape[:-1]
         R = r.reshape(batch + (grid.Ngx, grid.Ngy))
-        ixg = self._ix[:, None]
-        iyg = self._iy[None, :]
+        x0, x1, y0, y1 = self._x0, self._x1, self._y0, self._y1
 
         if self._has_boundary:
             bmask = jnp.asarray(self._bmask)
@@ -135,7 +141,7 @@ class FDM2D:
                 Kub = Kub + self.alpha * jax.vmap(
                     lambda x: ops.apply_mass(grid, x))(flatb)
             Kub = Kub.reshape(R.shape)
-            Rint = (R - Kub)[..., ixg, iyg]
+            Rint = (R - Kub)[..., x0:x1, y0:y1]
         else:
             Rb = jnp.zeros_like(R)
             Rint = R
@@ -150,7 +156,7 @@ class FDM2D:
         Uint = jnp.matmul(Zx, jnp.matmul(W, Zy.T, precision=hi),
                           precision=hi)
 
-        out = (Rb.at[..., ixg, iyg].set(Uint) if self._has_boundary
+        out = (Rb.at[..., x0:x1, y0:y1].set(Uint) if self._has_boundary
                else Uint)
         return out.reshape(batch + (grid.N,))
 
