@@ -40,9 +40,12 @@ def main(check: bool = False):
     if check:
         assert abs(T_plot.max() - 0.5) < 1e-10, "west Dirichlet violated"
         assert abs(T_plot.min() + 0.5) < 1e-10, "east Dirichlet violated"
-        # the configuration is antisymmetric under (x,y) -> (L-x, L-y)
+        # the configuration is antisymmetric under (x,y) -> (L-x, L-y);
+        # the defect bound matches the solver contract (GMRES converges to
+        # atol = mtol*sqrt(N) ~ 1.3e-9 absolute; solution junk along
+        # weakly-observable directions is of the same order)
         asym = np.max(np.abs(T_plot + T_plot[::-1, ::-1]))
-        assert asym < 1e-10, f"antisymmetry defect {asym:.2e}"
+        assert asym < 1e-8, f"antisymmetry defect {asym:.2e}"
         print("CHECK OK")
         return
 

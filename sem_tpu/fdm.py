@@ -149,7 +149,7 @@ class FDM2D:
         Zx = jnp.asarray(self._Zx.astype(dtype))
         Zy = jnp.asarray(self._Zy.astype(dtype))
         ginv = jnp.asarray(self._ginv.astype(dtype))
-        hi = jax.lax.Precision.HIGHEST  # TPU: f32 matmuls default to bf16
+        hi = ops.pc_precision(dtype)  # preconditioner-grade precision
         W = jnp.matmul(Zx.T, jnp.matmul(Rint, Zy, precision=hi),
                        precision=hi)
         W = W * ginv

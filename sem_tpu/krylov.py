@@ -49,6 +49,16 @@ def _identity(x):
     return x
 
 
+_CHUNK = 16  # Krylov-basis rows per orthogonalization chunk (see gmres)
+
+
+def _mm_precision(dtype):
+    """f64 -> HIGHEST (6-pass); f32 -> HIGH (3-pass, true-f32 accuracy at
+    half the MXU cost — the f32 path only feeds ~1e-5-target inner loops)."""
+    return (lax.Precision.HIGHEST if dtype == jnp.float64
+            else lax.Precision.HIGH)
+
+
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
           atol: float, restart: int = 30, maxiter: int = 1000,
           precon: Optional[Callable] = None):
@@ -72,18 +82,47 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
 
+    # Krylov-basis chunking: the basis buffer is stored row-padded to a
+    # multiple of ``_CHUNK`` rows so orthogonalization can run as a scan over
+    # row chunks, skipping chunks beyond the current column count k — at
+    # iteration k only ~k rows are live, so the (bandwidth-bound) basis
+    # sweeps cost ~half of the monolithic (m+1)-row matmuls on average.
+    cchunk = min(_CHUNK, m + 1)
+    nchunk = -(-(m + 1) // cchunk)
+    mp = nchunk * cchunk
+
     x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
 
     def new_cycle(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype)
+        V = jnp.zeros((mp, n), dtype)
         V = V.at[0].set(r / jnp.maximum(beta, eps_tiny))
         H = jnp.zeros((m + 1, m), dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
         cs = jnp.ones(m, dtype)   # identity rotations in unused slots
         sn = jnp.zeros(m, dtype)
         return x, V, H, cs, sn, g, beta
+
+    def mgs_pass(V, w, k, hi):
+        """One block-MGS sweep: orthogonalize ``w`` against live rows of V.
+
+        Equivalent to the classical-GS projector on the span (rows beyond k
+        are zero) but applied chunk-sequentially, which (a) is at least as
+        stable as CGS, and (b) lets ``lax.cond`` skip entirely-dead chunks —
+        the dominant GMRES cost at SEM sizes is this bandwidth-bound sweep.
+        """
+        def step(wcur, xs):
+            j, Vj = xs
+            def active(_):
+                hj = jnp.matmul(Vj, wcur, precision=hi)
+                return wcur - jnp.matmul(Vj.T, hj, precision=hi), hj
+            def dead(_):
+                return wcur, jnp.zeros(cchunk, dtype)
+            return lax.cond(j * cchunk <= k, active, dead, None)
+        w, hs = lax.scan(step, w, (jnp.arange(nchunk),
+                                   V.reshape(nchunk, cchunk, n)))
+        return w, hs.reshape(-1)[:m + 1]
 
     x, V, H, cs, sn, g, beta0 = new_cycle(x0)
 
@@ -98,15 +137,21 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled = state
 
         w = matvec(precon(V[k]))
-        # classical Gram-Schmidt with reorthogonalization (CGS2): two passes
-        # of (V @ w, w -= Vᵀh) — two large matvecs over the Krylov buffer
-        # instead of a sequential per-vector loop (latency-bound on TPU).
-        # Rows of V beyond k are still zero, so no masking is needed.
-        hi = lax.Precision.HIGHEST  # TPU: f32 matmuls default to bf16
-        h1 = jnp.matmul(V, w, precision=hi)
-        w = w - jnp.matmul(V.T, h1, precision=hi)
-        h2 = jnp.matmul(V, w, precision=hi)
-        w = w - jnp.matmul(V.T, h2, precision=hi)
+        # block-MGS with selective reorthogonalization (≥ CGS2 stability
+        # when the reorth pass triggers): chunk-scans over the live rows of
+        # the Krylov buffer instead of a sequential per-vector loop
+        # (latency-bound on TPU) or monolithic full-buffer matmuls (reads
+        # (m+1)·n even when only k rows are live).  The second sweep runs
+        # only on significant cancellation (remainder < η·‖w‖, the classical
+        # "twice is enough" test) — these bandwidth-bound basis sweeps are
+        # the dominant per-iteration cost at SEM sizes.
+        hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
+        wnorm0 = jnp.linalg.norm(w)
+        w, h1 = mgs_pass(V, w, k, hi)
+        w, h2 = lax.cond(
+            jnp.linalg.norm(w) < 0.5 * wnorm0,
+            lambda w: mgs_pass(V, w, k, hi),
+            lambda w: (w, jnp.zeros(m + 1, dtype)), w)
         h = h1 + h2
         hk1 = jnp.linalg.norm(w)
         h = h.at[k + 1].set(hk1)
@@ -156,8 +201,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
             rhs = jnp.where(used, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
             # right-preconditioned update: x += M⁻¹ (Vᵀ y)  (precon is linear)
-            dx = precon(jnp.matmul(V[:m].T, y,
-                                   precision=lax.Precision.HIGHEST))
+            dx = precon(jnp.matmul(V[:m].T, y, precision=_mm_precision(dtype)))
             x_new = x + dx
             xn, Vn, Hn, csn, snn, gn, beta = new_cycle(x_new)
             # recompute the true residual at cycle end; use it for the test.

@@ -306,7 +306,7 @@ class NavierStokesSolver:
             KGyT = jnp.asarray(grid.KG1yT.astype(xdtype))   # [K1yᵀ, G1yᵀ]
             m1x = jnp.asarray(grid.m1x.astype(xdtype))[:, None]
             m1y = jnp.asarray(grid.m1y.astype(xdtype))[None, :]
-            hi = lax.Precision.HIGHEST
+            hi = ops.pc_precision(xdtype)
 
             def mv(q):
                 # Fused coupled matvec: ALL twelve 1D operator products

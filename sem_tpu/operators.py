@@ -131,6 +131,34 @@ def _c(grid: Grid2D, name: str, dtype):
     return jnp.asarray(getattr(grid, name).astype(dtype))
 
 
+def mm_precision(dtype) -> jax.lax.Precision:
+    """Matmul precision for ACCURACY-CRITICAL operator applies: HIGHEST.
+
+    TPU MXUs multiply in bf16 by default, which silently destroys Krylov
+    orthogonalization and operator accuracy (f32 ``DEFAULT`` ⇒ ~3e-3 relative
+    error); even the 3-pass ``HIGH`` measurably pollutes converged solutions
+    along near-null operator directions (the CD circular-flow antisymmetry
+    defect grows 1e-10 → 2e-7 with ``HIGH`` operator applies).  Residual /
+    system matvecs therefore always use HIGHEST.
+    """
+    return jax.lax.Precision.HIGHEST
+
+
+def pc_precision(dtype) -> jax.lax.Precision:
+    """Matmul precision for PRECONDITIONER-ONLY applies.
+
+    f64 → HIGHEST; f32 → ``HIGH`` (3-pass bf16, ~true-f32 accuracy at half
+    the MXU cost of HIGHEST).  Safe only where inaccuracy cannot bias the
+    converged answer — preconditioner applications inside Krylov loops whose
+    convergence test is on the true residual (FDM solves, the NS coupled
+    inner-loop operators under f64 iterative refinement, CGS2
+    orthogonalization): measured harmless on the CD/NS/Boussinesq anchors,
+    and worth ~30-40%% of the north-star per-iteration cost.
+    """
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float64
+            else jax.lax.Precision.HIGH)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def apply_mass(grid: Grid2D, u: jax.Array) -> jax.Array:
     """Global mass operator (diagonal) — parity with reference SEM.py:170-183."""
@@ -151,7 +179,7 @@ def apply_stiffness(grid: Grid2D, u: jax.Array) -> jax.Array:
     K1y = _c(grid, "K1y", u.dtype)
     m1x = _c(grid, "m1x", u.dtype)
     m1y = _c(grid, "m1y", u.dtype)
-    hi = jax.lax.Precision.HIGHEST
+    hi = mm_precision(u.dtype)
     KU = jnp.matmul(K1x, U, precision=hi) * m1y[None, :]
     UK = jnp.matmul(U, K1y.T, precision=hi) * m1x[:, None]
     return flat_form(KU + UK)
@@ -167,8 +195,7 @@ def apply_grad_x(grid: Grid2D, p: jax.Array) -> jax.Array:
     U = grid_form(grid, p)
     G1x = _c(grid, "G1x", p.dtype)
     m1y = _c(grid, "m1y", p.dtype)
-    return flat_form(jnp.matmul(G1x, U,
-                                precision=jax.lax.Precision.HIGHEST)
+    return flat_form(jnp.matmul(G1x, U, precision=mm_precision(p.dtype))
                      * m1y[None, :])
 
 
@@ -178,8 +205,7 @@ def apply_grad_y(grid: Grid2D, p: jax.Array) -> jax.Array:
     U = grid_form(grid, p)
     G1y = _c(grid, "G1y", p.dtype)
     m1x = _c(grid, "m1x", p.dtype)
-    return flat_form(jnp.matmul(U, G1y.T,
-                                precision=jax.lax.Precision.HIGHEST)
+    return flat_form(jnp.matmul(U, G1y.T, precision=mm_precision(p.dtype))
                      * m1x[:, None])
 
 
@@ -187,14 +213,14 @@ def _elem_dx(grid: Grid2D, w_e: jax.Array) -> jax.Array:
     """Batched ξ-derivative along x within each element: (D̂ w)ᵢⱼ."""
     D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
     return jnp.einsum("ik,ekj->eij", D, w_e,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=mm_precision(w_e.dtype))
 
 
 def _elem_dy(grid: Grid2D, w_e: jax.Array) -> jax.Array:
     """Batched ξ-derivative along y within each element: (w D̂ᵀ)ᵢⱼ."""
     D = jnp.asarray(grid.basis.D.astype(w_e.dtype))
     return jnp.einsum("jl,eil->eij", D, w_e,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=mm_precision(w_e.dtype))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -237,7 +263,7 @@ def apply_system(grid: Grid2D, u: jax.Array, v: jax.Array, w: jax.Array,
     """
     W = grid_form(grid, w)
     Ngx, Ngy = grid.Ngx, grid.Ngy
-    hi = jax.lax.Precision.HIGHEST
+    hi = mm_precision(w.dtype)
     KGx = jnp.asarray(grid.KG1x.astype(w.dtype))
     KGyT = jnp.asarray(grid.KG1yT.astype(w.dtype))
     m1x = jnp.asarray(grid.m1x.astype(w.dtype))[:, None]
