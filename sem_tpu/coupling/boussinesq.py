@@ -40,7 +40,8 @@ def build_coupled(L_x: float, L_y: float,
                   mode="JNK",
                   mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
                   mtol_gmres=1e-10, restart=20,
-                  mtol_internal=1e-13, mtol_precon=1e-4, iprint=True):
+                  mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
+                  device_krylov=None):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -62,7 +63,8 @@ def build_coupled(L_x: float, L_y: float,
                         mtol_nonlin=mtol_nonlin,
                         AGi=AGi, AGr=AGr, AGc=AGc,
                         mtol_gmres=mtol_gmres, restart=restart,
-                        mtol_precon=mtol_precon, iprint=iprint)
+                        mtol_precon=mtol_precon, iprint=iprint,
+                        device_krylov=device_krylov)
     return cd, ns, mda
 
 
@@ -75,7 +77,7 @@ def run(points_plot: typing.Tuple[np.ndarray, np.ndarray],
         mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-10, restart=20,
         mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
-        return_state=False):
+        return_state=False, device_krylov=None):
     """Solve the coupled Boussinesq problem; return (T, u, v) at plot points.
 
     Signature parity with reference Boussinesq_SequentialCoupler.py:10-17
@@ -87,7 +89,8 @@ def run(points_plot: typing.Tuple[np.ndarray, np.ndarray],
                                 P_ns, N_ex_ns, N_ey_ns,
                                 mode, mtol_nonlin, AGi, AGr, AGc,
                                 mtol_gmres, restart, mtol_internal,
-                                mtol_precon, iprint)
+                                mtol_precon, iprint,
+                                device_krylov=device_krylov)
     state = mda.solve()
 
     T_plot = cd._get_interpol(state.T, points_plot)

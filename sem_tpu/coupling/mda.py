@@ -157,6 +157,16 @@ class BoussinesqMDA:
         Pass None to reproduce the reference's behavior exactly.
     :param iprint: True ⇒ per-iteration residual lines (OpenMDAO iprint=2
         analog)
+    :param device_krylov: run the coupled JNK flexible GMRES **on device**
+        (one XLA dispatch per restart window, inner block-Jacobi discipline
+        solves included) instead of the host-orchestrated NumPy loop whose
+        every callback crosses the accelerator tunnel.  ``None`` (default)
+        auto-enables below ~10⁶ coupled DOF, where the fused program
+        compiles quickly and a window stays well inside runtime watchdogs;
+        the host path remains for larger problems and as the structural
+        reference.  Replaces the PETSc-side distributed GMRES of the
+        reference (Boussinesq_ParallelCoupler.py:91-93) with a jitted
+        collective-ready loop.
     """
 
     def __init__(self, cd_comp: ConvectionDiffusionComponent,
@@ -166,7 +176,7 @@ class BoussinesqMDA:
                  mtol_gmres: float = 1e-10, restart: int = 20,
                  maxiter: int = None, gmres_maxiter: int = 5000,
                  mtol_precon: float = 1e-4, mtol_subsolve: float = 1e-6,
-                 iprint: bool = True):
+                 iprint: bool = True, device_krylov: bool = None):
         if mode not in ("GS", "NJ", "JNK"):
             raise ValueError("Unknown method")  # parity: reference :93
         self.cd_comp = cd_comp
@@ -185,6 +195,10 @@ class BoussinesqMDA:
         self.maxiter = maxiter if maxiter is not None else (
             100 if mode == "JNK" else 1000)
         self.iprint = iprint
+        if device_krylov is None:
+            device_krylov = self.DOF <= 1_000_000
+        self.device_krylov = bool(device_krylov)
+        self._jnk_cycle_jit = None  # built lazily on first device JNK solve
         self.stats = MDAStats()
 
     # ------------------------- plumbing ------------------------- #
@@ -233,6 +247,99 @@ class BoussinesqMDA:
         if self.iprint:
             print(f"Boussinesq {tag}: {k}\t{norm}")
 
+    # ------------------ on-device coupled FGMRES (JNK) ------------------ #
+    def _build_jnk_cycle(self):
+        """Jit one flexible-GMRES window over the coupled tangent system.
+
+        The window's every matvec (both disciplines' tangent residuals plus
+        the cross-mesh transfers) and every block-Jacobi preconditioner
+        application (a full FDM-preconditioned CD solve + a full NS coupled
+        saddle solve, nested Krylov loops included) compiles into ONE XLA
+        program — the host sees one dispatch per window instead of
+        ~4 round-trips per coupled iteration.
+        """
+        import jax
+
+        from sem_tpu.interp import apply_transfer
+        from sem_tpu.krylov import fgmres
+
+        cd_s = self.cd_comp.cd
+        ns_s = self.ns_comp.ns
+        Ncd, Nns = self.N_cd, self.N_ns
+        # preconditioner tolerances: per-MDA override or solver-internal
+        mtol_pre_cd = (cd_s._mtol if self.mtol_precon is None
+                       else self.mtol_precon)
+        mtol_pre_ns = (ns_s._mtol if self.mtol_precon is None
+                       else self.mtol_precon)
+        window = max(2 * self.restart, 40)
+
+        def unpack(z):
+            return (z[:Ncd], z[Ncd:Ncd + Nns],
+                    z[Ncd + Nns:Ncd + 2 * Nns], z[Ncd + 2 * Nns:])
+
+        def cycle(x0, b, cd_u, cd_v, cd_jdu, cd_jdv, ns_ul, ns_vl, ns_jac,
+                  atol):
+            def mv(dx):
+                dT, du, dv, dp = unpack(dx)
+                du_cd = apply_transfer(ns_s.grid, cd_s.grid, du)
+                dv_cd = apply_transfer(ns_s.grid, cd_s.grid, dv)
+                dT_ns = apply_transfer(cd_s.grid, ns_s.grid, dT)
+                drT = cd_s._dres_jit(dT, cd_u, cd_v, cd_jdu, cd_jdv,
+                                     du_cd, dv_cd)
+                dru, drv, drp = ns_s._dres_jit(du, dv, dp, dT_ns,
+                                               ns_ul, ns_vl, ns_jac)
+                return jnp.concatenate([drT, dru, drv, drp])
+
+            def pc(r):
+                rT, ru, rv, rp = unpack(r)
+                dT, _ = cd_s._update_jit(
+                    rT, cd_u, cd_v, jnp.zeros(Ncd, rT.dtype),
+                    jnp.asarray(mtol_pre_cd, rT.dtype))
+                du, dv, dp = ns_s._update_jit(
+                    ru, rv, rp, ns_ul, ns_vl, ns_jac,
+                    jnp.zeros(Nns, ru.dtype),
+                    jnp.asarray(mtol_pre_ns, ru.dtype))[:3]
+                return jnp.concatenate([dT, du, dv, dp])
+
+            return fgmres(mv, b, x0=x0, atol=atol, restart=self.restart,
+                          maxiter=window, precon=pc)
+
+        return jax.jit(cycle)
+
+    def _fgmres_device(self, b):
+        """Drive on-device FGMRES windows until converged (warm-started)."""
+        if self._jnk_cycle_jit is None:
+            self._jnk_cycle_jit = self._build_jnk_cycle()
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        b = jnp.asarray(b)
+        atol = jnp.asarray(self.atol_gmres, b.dtype)
+        x = jnp.zeros_like(b)
+        total = 0
+        while True:
+            x, info, hist = self._jnk_cycle_jit(
+                x, b, cd_s._u, cd_s._v, cd_s._jac_diag_u, cd_s._jac_diag_v,
+                ns_s._u_lin, ns_s._v_lin, ns_s._jac, atol)
+            done = int(info.iterations)
+            if self.iprint:
+                for j in range(done):
+                    print(f"   JNK GMRES: {total + j + 1}\t{float(hist[j])}")
+            total += done
+            # block-Jacobi preconditioner applications = discipline solves
+            self.cd_comp.iter_count_solve += done
+            self.ns_comp.iter_count_solve += done
+            if bool(info.converged):
+                return np.asarray(x), total, True
+            if bool(info.stalled) or done == 0:
+                # roundoff plateau: accept the best iterate — the Newton
+                # loop's check on the TRUE nonlinear residual is
+                # authoritative (same policy as the discipline solvers)
+                if self.iprint:
+                    print(f"   JNK GMRES: stalled at resnorm "
+                          f"{float(info.resnorm):.3e} (roundoff plateau)")
+                return np.asarray(x), total, True
+            if total >= self.gmres_maxiter:
+                return np.asarray(x), total, False
+
     # --------------------------- modes --------------------------- #
     def solve(self, s0: CoupledState = None) -> CoupledState:
         zcd = jnp.zeros(self.N_cd)
@@ -276,14 +383,18 @@ class BoussinesqMDA:
                 return s
             self._linearize(s)
             if krylov:
-                precon = lambda r: self._block_jacobi(r,
-                                                      mtol=self.mtol_precon)
-                dx, iters, ok = _fgmres(
-                    self._apply_linear, precon, -F,
-                    atol=self.atol_gmres, restart=self.restart,
-                    maxiter=self.gmres_maxiter,
-                    callback=(lambda it, res: print(
-                        f"   JNK GMRES: {it}\t{res}") if self.iprint else None))
+                if self.device_krylov:
+                    dx, iters, ok = self._fgmres_device(-F)
+                else:
+                    precon = lambda r: self._block_jacobi(
+                        r, mtol=self.mtol_precon)
+                    dx, iters, ok = _fgmres(
+                        self._apply_linear, precon, -F,
+                        atol=self.atol_gmres, restart=self.restart,
+                        maxiter=self.gmres_maxiter,
+                        callback=(lambda it, res: print(
+                            f"   JNK GMRES: {it}\t{res}")
+                            if self.iprint else None))
                 self.stats.gmres_iters += iters
                 if not ok:
                     raise RuntimeError(

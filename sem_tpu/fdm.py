@@ -149,7 +149,7 @@ class FDM2D:
         Zx = jnp.asarray(self._Zx.astype(dtype))
         Zy = jnp.asarray(self._Zy.astype(dtype))
         ginv = jnp.asarray(self._ginv.astype(dtype))
-        hi = ops.pc_precision(dtype)  # preconditioner-grade precision
+        hi = ops.mm_precision(dtype)  # left-precon: accuracy-critical
         W = jnp.matmul(Zx.T, jnp.matmul(Rint, Zy, precision=hi),
                        precision=hi)
         W = W * ginv

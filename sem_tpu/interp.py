@@ -39,7 +39,7 @@ def eval_matrix_1d(P: int, N_e: int, d: float, xq: np.ndarray) -> np.ndarray:
     scatter into that element's global columns.
     """
     xq = np.asarray(xq, dtype=np.float64)
-    e, xi = x2xi(xq, d)
+    e, xi = x2xi(xq, d, N_e=N_e)   # validates xq ∈ [0, N_e·d]
     e = np.clip(e, 0, N_e - 1)
     S = gll.standard_evaluation_matrix(P, xi)  # (nq, P+1) rows at local ξ
     E = np.zeros((xq.size, N_e * P + 1))

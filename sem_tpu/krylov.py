@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gmres", "refined_gmres", "refined_gmres_host", "cg",
+__all__ = ["gmres", "fgmres", "refined_gmres_host", "cg",
            "KrylovInfo"]
 
 
@@ -53,15 +53,18 @@ _CHUNK = 16  # Krylov-basis rows per orthogonalization chunk (see gmres)
 
 
 def _mm_precision(dtype):
-    """f64 -> HIGHEST (6-pass); f32 -> HIGH (3-pass, true-f32 accuracy at
-    half the MXU cost — the f32 path only feeds ~1e-5-target inner loops)."""
-    return (lax.Precision.HIGHEST if dtype == jnp.float64
-            else lax.Precision.HIGH)
+    """Always HIGHEST.  Measured (p16 64x64 and the CD example): the
+    orthogonalization sweeps lower to full-f32 VPU fusions where the knob is
+    a no-op, and every matmul-shaped op in the Krylov path (operator applies,
+    FDM preconditioner transforms) is accuracy-critical — 3-pass HIGH floors
+    the f32 inner solves at ~4e-5 relative (vs ~1e-5 needed), multiplying
+    refinement passes ~25x."""
+    return lax.Precision.HIGHEST
 
 
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
           atol: float, restart: int = 30, maxiter: int = 1000,
-          precon: Optional[Callable] = None):
+          precon: Optional[Callable] = None, return_hist: bool = False):
     """Restarted GMRES(m) with right preconditioning.
 
     :param matvec:  linear operator ``A(x)`` (must be traceable)
@@ -72,7 +75,12 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     :param restart: Krylov window m
     :param maxiter: max TOTAL inner iterations (matvec applications)
     :param precon:  *linear* right preconditioner ``M⁻¹(r)``
-    :return: (x, KrylovInfo)
+    :param return_hist: also return the per-iteration recurrence residual
+        (shape ``(maxiter,)``, padded with the final value) — the data behind
+        the reference's ``'LGMRES_iter'`` per-iteration prints (reference
+        ConvectionDiffusion_Solver.py:139-144), recorded on device and
+        printable after the dispatch
+    :return: (x, KrylovInfo) or (x, KrylovInfo, hist)
     """
     if precon is None:
         precon = _identity
@@ -126,32 +134,30 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
     x, V, H, cs, sn, g, beta0 = new_cycle(x0)
 
-    # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled)
+    # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist)
     state = (x, V, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
-             beta0 <= atol, beta0, jnp.asarray(False))
+             beta0 <= atol, beta0, jnp.asarray(False),
+             jnp.full(maxiter, beta0, dtype))
 
     def cond(state):
         return ~state[9]
 
     def body(state):
-        x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled = state
+        (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
+         hist) = state
 
         w = matvec(precon(V[k]))
-        # block-MGS with selective reorthogonalization (≥ CGS2 stability
-        # when the reorth pass triggers): chunk-scans over the live rows of
-        # the Krylov buffer instead of a sequential per-vector loop
-        # (latency-bound on TPU) or monolithic full-buffer matmuls (reads
-        # (m+1)·n even when only k rows are live).  The second sweep runs
-        # only on significant cancellation (remainder < η·‖w‖, the classical
-        # "twice is enough" test) — these bandwidth-bound basis sweeps are
-        # the dominant per-iteration cost at SEM sizes.
+        # block-MGS with one reorthogonalization sweep (≥ CGS2 stability):
+        # chunk-scans over the live rows of the Krylov buffer instead of a
+        # sequential per-vector loop (latency-bound on TPU) or monolithic
+        # full-buffer matmuls (which read all (m+1)·n even when only k rows
+        # are live) — these bandwidth-bound basis sweeps are the dominant
+        # per-iteration cost at SEM sizes.  A selective (η-test) second
+        # sweep was measured to trigger every iteration on preconditioned
+        # SEM systems, so both sweeps run unconditionally.
         hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
-        wnorm0 = jnp.linalg.norm(w)
         w, h1 = mgs_pass(V, w, k, hi)
-        w, h2 = lax.cond(
-            jnp.linalg.norm(w) < 0.5 * wnorm0,
-            lambda w: mgs_pass(V, w, k, hi),
-            lambda w: (w, jnp.zeros(m + 1, dtype)), w)
+        w, h2 = mgs_pass(V, w, k, hi)
         h = h1 + h2
         hk1 = jnp.linalg.norm(w)
         h = h.at[k + 1].set(hk1)
@@ -185,6 +191,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         H = H.at[:, k].set(h)
         g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
         res = jnp.abs(g[k + 1])
+        hist = hist.at[it].set(res)
         it = it + 1
 
         conv = res <= atol
@@ -210,92 +217,162 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
             stall_new = (beta > atol) & (beta > 0.9 * cycle_res) & (kk >= m)
             done_new = (beta <= atol) | (it >= maxiter) | stall_new
             return (xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
-                    done_new, beta, stall_new)
+                    done_new, beta, stall_new, hist)
 
         def cont(_):
             return (x, V, H, cs, sn, g, k + 1, it, res, done, cycle_res,
-                    stalled)
+                    stalled, hist)
 
         return lax.cond(end_cycle, finish, cont, None)
 
     state = lax.while_loop(cond, body, state)
-    x, it, res, stalled = state[0], state[7], state[8], state[11]
-    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
-                         stalled=stalled)
+    x, it, res, stalled, hist = (state[0], state[7], state[8], state[11],
+                                 state[12])
+    info = KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
+                      stalled=stalled)
+    if return_hist:
+        return x, info, hist
+    return x, info
 
 
-def refined_gmres(make_ops: Callable, b: jax.Array,
-                  x0: Optional[jax.Array] = None, *,
-                  atol, restart: int = 60, maxiter: int = 5000,
-                  max_refine: int = 12, inner_rtol: float = 1e-5,
-                  lp_dtype=jnp.float32):
-    """Mixed-precision GMRES: f32 inner solves + f64 iterative refinement.
+def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
+           atol, restart: int = 20, maxiter: int = 1000,
+           precon: Callable):
+    """Flexible GMRES(m): right preconditioner may vary per application.
 
-    f64 matmuls are software-emulated on TPU MXUs, so the Krylov loop (whose
-    cost is dominated by orthogonalization matmuls over the basis buffer and
-    the operator/preconditioner applies) runs in float32, wrapped in a
-    float64 refinement loop that repeatedly solves ``A dx = b - A x`` and
-    keeps the best iterate — full f64 accuracy at f32 speed.
+    The coupled-MDA Krylov solver (reference Boussinesq_SequentialCoupler.py
+    :86-91 drives ScipyKrylov/PETScKrylov GMRES preconditioned by
+    LinearBlockJac): the block-Jacobi preconditioner here contains inner
+    Krylov solves, so the preconditioned vectors ``Z`` are stored explicitly
+    (Saad's FGMRES) and the solution update uses them.  Runs entirely on
+    device — while-loops and all — so one dispatch covers a full restart
+    cycle including every inner discipline solve.
 
-    The inner solve is **left-preconditioned** (solve ``M⁻¹A dx = M⁻¹r``):
-    SEM systems mix stiffness-scaled and mass-scaled rows spanning ~1e7,
-    beyond f32 resolution in the raw norm; in the preconditioned norm the
-    rows are O(1).  The refinement loop enforces the TRUE f64 residual.
-
-    :param make_ops: ``make_ops(dtype) -> (matvec, precon)`` building the
-        operator and preconditioner in the given compute dtype
-    :param atol: absolute tolerance on the true f64 residual
-    :return: (x, KrylovInfo) — ``stalled`` set when the refinement hit its
-        roundoff plateau before reaching ``atol``
+    :return: ``(x, KrylovInfo, res_hist)`` — ``res_hist[j]`` is the
+        recurrence residual after outer iteration j (padded with the final
+        value), enabling the reference's per-iteration MDA iprint lines
+        without host round trips inside the cycle.
     """
+    m = int(restart)
+    n = b.shape[0]
     dtype = b.dtype
+    eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
-    mv64, _ = make_ops(dtype)
-    mv_lp, pc_lp = make_ops(lp_dtype)
+    hi = _mm_precision(dtype)
 
     x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
-    big = jnp.asarray(jnp.inf, dtype)
-    state = (x0, x0, big, jnp.int32(0), jnp.int32(0), jnp.asarray(False),
-             big)
 
-    def rcond(c):
-        return ~c[5]
+    def new_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.maximum(beta, eps_tiny))
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        cs = jnp.ones(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        return x, V, Z, H, cs, sn, g, beta
 
-    def rbody(c):
-        x, x_best, rn_best, it, k, done, prev = c
-        r = b - mv64(x)
-        rn = jnp.linalg.norm(r)
-        better = rn < rn_best
-        x_best = jnp.where(better, x, x_best)
-        rn_best = jnp.where(better, rn, rn_best)
-        done_now = (rn <= atol) | (k >= max_refine) | (rn > 0.9 * prev)
+    x, V, Z, H, cs, sn, g, beta0 = new_cycle(x0)
+    hist0 = jnp.full(maxiter, beta0, dtype)
 
-        def solve(_):
-            rp = pc_lp(r.astype(lp_dtype))
-            dx, info = gmres(lambda q: pc_lp(mv_lp(q)), rp,
-                             atol=inner_rtol * jnp.linalg.norm(rp),
-                             restart=restart, maxiter=maxiter)
-            return x + dx.astype(dtype), it + info.iterations
+    # state: (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist)
+    state = (x, V, Z, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
+             beta0 <= atol, beta0, jnp.asarray(False), hist0)
 
-        x_new, it_new = lax.cond(done_now, lambda _: (x, it), solve, None)
-        return (x_new, x_best, rn_best, it_new, k + 1, done_now, rn)
+    def cond(state):
+        return ~state[10]
 
-    st = lax.while_loop(rcond, rbody, state)
-    x, rn, it = st[1], st[2], st[3]
-    return x, KrylovInfo(converged=rn <= atol, iterations=it, resnorm=rn,
-                         stalled=rn > atol)
+    def body(state):
+        (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
+         hist) = state
+
+        z = precon(V[k])
+        w = matvec(z)
+        Z = Z.at[k].set(z)
+        # CGS2 (sizes here are MDA-scale; monolithic matmuls are fine)
+        h1 = jnp.matmul(V, w, precision=hi)
+        w = w - jnp.matmul(V.T, h1, precision=hi)
+        h2 = jnp.matmul(V, w, precision=hi)
+        w = w - jnp.matmul(V.T, h2, precision=hi)
+        h = h1 + h2
+        hk1 = jnp.linalg.norm(w)
+        h = h.at[k + 1].set(hk1)
+        V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
+
+        # previous Givens rotations via associative scan (cf. gmres)
+        A = -sn
+        bvec = (cs * h[1:]).at[0].add(A[0] * h[0])
+
+        def _comb(p, q):
+            Ax, bx = p
+            Ay, by = q
+            return Ay * Ax, Ay * bx + by
+
+        _, ys = lax.associative_scan(_comb, (A, bvec))
+        alphas = jnp.concatenate([h[:1], ys])
+        hprime = cs * alphas[:m] + sn * h[1:]
+        h = jnp.concatenate([hprime, alphas[m:m + 1]])
+        denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
+        c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny),
+                      1.0)
+        s = jnp.where(denom > eps_tiny, h[k + 1] / jnp.maximum(denom,
+                                                               eps_tiny), 0.0)
+        cs = cs.at[k].set(c)
+        sn = sn.at[k].set(s)
+        h = h.at[k].set(denom).at[k + 1].set(0.0)
+        H = H.at[:, k].set(h)
+        g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
+        res = jnp.abs(g[k + 1])
+        hist = hist.at[it].set(res)
+        it = it + 1
+
+        conv = res <= atol
+        end_cycle = conv | (k + 1 >= m) | (it >= maxiter)
+
+        def finish(_):
+            kk = k + 1
+            idx = jnp.arange(m)
+            used = idx < kk
+            R = H[:m, :m]
+            Rm = jnp.where(used[:, None] & used[None, :], R,
+                           jnp.eye(m, dtype=dtype))
+            rhs = jnp.where(used, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
+            x_new = x + jnp.matmul(Z.T, y, precision=hi)  # flexible update
+            xn, Vn, Zn, Hn, csn, snn, gn, beta = new_cycle(x_new)
+            stall_new = (beta > atol) & (beta > 0.9 * cycle_res) & (kk >= m)
+            done_new = (beta <= atol) | (it >= maxiter) | stall_new
+            return (xn, Vn, Zn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
+                    done_new, beta, stall_new, hist)
+
+        def cont(_):
+            return (x, V, Z, H, cs, sn, g, k + 1, it, res, done, cycle_res,
+                    stalled, hist)
+
+        return lax.cond(end_cycle, finish, cont, None)
+
+    state = lax.while_loop(cond, body, state)
+    x, it, res, stalled, hist = (state[0], state[8], state[9], state[12],
+                                 state[13])
+    return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
+                         stalled=stalled), hist
 
 
 def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                        b: jax.Array, x0: jax.Array, *,
                        atol: float, maxiter: int, max_refine: int = 12,
                        inner_rtol: float = 1e-5, lp_dtype=jnp.float32):
-    """Host-orchestrated mixed-precision GMRES (see :func:`refined_gmres`).
+    """Host-orchestrated mixed-precision GMRES.
 
-    Same algorithm as :func:`refined_gmres` — f32 left-preconditioned inner
-    solves inside an f64 iterative-refinement loop with best-iterate
-    tracking — but orchestrated at the host level with *bounded-size device
-    dispatches*:
+    f32 left-preconditioned inner solves inside an f64 iterative-refinement
+    loop with best-iterate tracking — f64 matmuls are software-emulated on
+    TPU MXUs, so the Krylov loop runs in float32 while the refinement loop
+    enforces the TRUE f64 residual tolerance.  The inner solve is
+    left-preconditioned because SEM systems mix stiffness- and mass-scaled
+    rows spanning ~1e7, beyond f32 resolution in the raw norm.  Orchestrated
+    at the host level with *bounded-size device dispatches*:
 
     * a single all-fused megakernel (while-in-while-in-cond) provokes XLA
       compile failures at large problem sizes, and
@@ -331,14 +408,20 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                               lp_dtype)
         xin = jnp.zeros_like(rp)
         spent = 0
+        chunk_best = float("inf")
         while spent < maxiter:
             xin, info = gmres_chunk(rp, xin, atol_lp)
             done_chunk = int(info.iterations)
             spent += done_chunk
             total_it += done_chunk
+            rn_chunk = float(info.resnorm)
             if (bool(info.converged) or bool(info.stalled)
-                    or done_chunk == 0):
+                    or done_chunk == 0 or rn_chunk > 0.9 * chunk_best):
+                # converged, flagged stalled, or bouncing at the f32 noise
+                # floor across chunks (< 10% progress): hand back to the f64
+                # refinement rather than burn further same-level chunks
                 break
+            chunk_best = min(chunk_best, rn_chunk)
         x = x + xin.astype(dtype)
 
     info = KrylovInfo(converged=jnp.asarray(rn_best <= atol),

@@ -39,16 +39,27 @@ def xi2x(e, xi, dx: float):
     return dx / 2 * (xi + 1) + dx * np.asarray(e)
 
 
-def x2xi(x, dx: float):
+def x2xi(x, dx: float, N_e: int = None):
     """Element number and standard coordinate from physical coordinate.
 
     Parity with reference SEM.py:23-36 including the boundary-ownership shift
     (e, ξ=-1) → (e-1, ξ=+1) for e>0, so a point on an element interface (and
     the right domain endpoint) belongs to the element on its left.
 
+    :param N_e: optional element count; when given, ``x`` is validated to lie
+        inside [0, N_e·dx] (the guardrail the reference enforces through
+        ``xi2x``'s range check, reference SEM.py:18-19 — its ``x2xi`` would
+        silently hand an out-of-range ξ to downstream evaluation)
     :return: (e int array, xi float array)
     """
     x = np.asarray(x, dtype=np.float64)
+    if N_e is not None:
+        L = N_e * dx
+        tol = 1e-12 * max(1.0, L)
+        if np.any(x < -tol) or np.any(x > L + tol):
+            raise ValueError(
+                f"x out of range [0, {L}]: "
+                f"[{float(np.min(x))}, {float(np.max(x))}]")
     frac, e = np.modf(x / dx)
     xi = 2.0 * frac - 1.0
     own = np.isclose(xi, -1.0) & (e > 0)

@@ -165,7 +165,8 @@ class ConvectionDiffusionSolver:
                                    * jnp.linalg.norm(drhs))
             mv64 = _make_mv(u, v, drhs.dtype)
             return gmres(mv64, drhs, x0=dT0, atol=atol_eff, restart=restart,
-                         maxiter=maxiter, precon=fdm)
+                         maxiter=maxiter, precon=fdm,
+                         return_hist="LGMRES_iter" in self._iprint)
 
         # separately-jitted pieces of the host-orchestrated mixed-precision
         # refinement (bounded dispatches — see krylov.refined_gmres_host)
@@ -174,10 +175,13 @@ class ConvectionDiffusionSolver:
         def cd_resid(x, b, u, v):
             return b - _make_mv(u, v, self._dtype)(x)
 
+        want_hist = "LGMRES_iter" in self._iprint
+
         def cd_gmres32(rp32, x032, atol32, ul32, vl32):
             mv32 = _make_mv(ul32, vl32, lp)
             return gmres(lambda q: fdm(mv32(q)), rp32, x0=x032, atol=atol32,
-                         restart=restart, maxiter=2 * restart + 5)
+                         restart=restart, maxiter=2 * restart + 5,
+                         return_hist=want_hist)
 
         self._residual_jit = jax.jit(residual)
         self._dres_jit = jax.jit(dres)
@@ -226,8 +230,13 @@ class ConvectionDiffusionSolver:
         if self._mixed_precision:
             dT, info = self._update_mixed(drhs, dT0, mtol_f)
         else:
-            dT, info = self._update_jit(drhs, self._u, self._v, dT0,
-                                        jnp.asarray(mtol_f, self._dtype))
+            out = self._update_jit(drhs, self._u, self._v, dT0,
+                                   jnp.asarray(mtol_f, self._dtype))
+            if len(out) == 3:   # 'LGMRES_iter': per-iteration residual lines
+                dT, info, hist = out
+                self._print_hist(hist, int(info.iterations))
+            else:
+                dT, info = out
         self.last_info = info
         self.iter_count_solve += 1
         # roundoff-stalled solves return the best-achievable iterate and are
@@ -245,6 +254,14 @@ class ConvectionDiffusionSolver:
                   f"{float(info.resnorm):.3e}")
         return dT
 
+    def _print_hist(self, hist, n, offset=0):
+        """Per-iteration residual lines (reference 'LGMRES_iter',
+        ConvectionDiffusion_Solver.py:139-144) — recorded on device during
+        the solve, printed after the dispatch."""
+        h = np.asarray(hist)
+        for j in range(n):
+            print(f"ConvectionDiffusion LGMRES: {offset + j + 1}\t{h[j]}")
+
     def _update_mixed(self, drhs, dT0, mtol):
         """Host-level f64 refinement around chunked f32 GMRES (bounded device
         dispatches — see :func:`sem_tpu.krylov.refined_gmres_host`)."""
@@ -254,11 +271,21 @@ class ConvectionDiffusionSolver:
         atol_eff = max(mtol * np.sqrt(self.N), max(mtol, 50 * eps) * normb)
         ul32 = self._u.astype(lp)
         vl32 = self._v.astype(lp)
+        count = [0]
+
+        def chunk(rp, xin, a):
+            out = self._gmres32_jit(rp, xin, a, ul32, vl32)
+            if len(out) == 3:   # 'LGMRES_iter' (f32 inner-loop residuals)
+                x, info, hist = out
+                self._print_hist(hist, int(info.iterations), count[0])
+                count[0] += int(info.iterations)
+                return x, info
+            return out
+
         return refined_gmres_host(
             cres=lambda x: self._cres_jit(x, drhs, self._u, self._v),
             pc_lp=self._pc32_jit,
-            gmres_chunk=lambda rp, xin, a: self._gmres32_jit(rp, xin, a,
-                                                             ul32, vl32),
+            gmres_chunk=chunk,
             b=drhs, x0=dT0, atol=atol_eff, maxiter=self._maxiter)
 
     def _get_solution(self, u, v, T0=None, mtol=None):

@@ -255,6 +255,7 @@ class NavierStokesSolver:
                          maxiter=self._maxiter_velo, precon=pc)
 
         mass_diag = jnp.asarray(grid.mass_diag, dtype=dtype)
+        want_hist = "LGMRES_iter" in self._iprint
 
         def precon_schur(c):
             """Inverse-diagonal-mass preconditioner (reference :208-212)."""
@@ -281,15 +282,18 @@ class NavierStokesSolver:
             atol_eff = jnp.maximum(mtol_s * np.sqrt(N),
                                    jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(b_schur))
-            dp, schur_info = gmres(schur_mv, b_schur, x0=dp0,
-                                   atol=atol_eff, restart=self._restart,
-                                   maxiter=self._maxiter, precon=precon_schur)
+            out = gmres(schur_mv, b_schur, x0=dp0,
+                        atol=atol_eff, restart=self._restart,
+                        maxiter=self._maxiter, precon=precon_schur,
+                        return_hist=want_hist)
+            dp, schur_info = out[0], out[1]
+            hist = out[2] if want_hist else jnp.zeros(0, dtype)
 
             # velocity back-substitution (reference :232-235)
             bu, bv, _ = dres(zero(), zero(), dp, zero(), u_lin, v_lin, jac)
             q, velo_info2 = solve_velo(res_u - bu, res_v - bv, u_lin, v_lin,
                                        jac, q_star)
-            return q[:N], q[N:], dp, schur_info, velo_info2
+            return q[:N], q[N:], dp, schur_info, velo_info2, hist
 
         def _coupled_ops(u_lin, v_lin, jac, xdtype):
             """Coupled saddle matvec + block-triangular preconditioner in the
@@ -306,7 +310,7 @@ class NavierStokesSolver:
             KGyT = jnp.asarray(grid.KG1yT.astype(xdtype))   # [K1yᵀ, G1yᵀ]
             m1x = jnp.asarray(grid.m1x.astype(xdtype))[:, None]
             m1y = jnp.asarray(grid.m1y.astype(xdtype))[None, :]
-            hi = ops.pc_precision(xdtype)
+            hi = ops.mm_precision(xdtype)
 
             def mv(q):
                 # Fused coupled matvec: ALL twelve 1D operator products
@@ -388,10 +392,13 @@ class NavierStokesSolver:
                                    * jnp.linalg.norm(b))
             mv64, pc64 = _coupled_ops(u_lin, v_lin, jac, dtype)
             q0 = jnp.concatenate([zero(), zero(), dp0])
-            q, info = gmres(mv64, b, x0=q0, atol=atol_eff,
-                            restart=self._restart,
-                            maxiter=self._maxiter, precon=pc64)
-            return q[:N], q[N:2 * N], q[2 * N:], info, info
+            out = gmres(mv64, b, x0=q0, atol=atol_eff,
+                        restart=self._restart,
+                        maxiter=self._maxiter, precon=pc64,
+                        return_hist=want_hist)
+            q, info = out[0], out[1]
+            hist = out[2] if want_hist else jnp.zeros(0, dtype)
+            return q[:N], q[N:2 * N], q[2 * N:], info, info, hist
 
         # --- separately-jitted pieces of the mixed-precision refinement ---
         # The refinement loop itself runs at host level (<= max_refine trips,
@@ -416,7 +423,8 @@ class NavierStokesSolver:
             mv32, pc32 = _coupled_ops(ul32, vl32, jac32, lp)
             return gmres(lambda q: pc32(mv32(q)), rp32, x0=x032, atol=atol32,
                          restart=self._restart,
-                         maxiter=2 * self._restart + 5)
+                         maxiter=2 * self._restart + 5,
+                         return_hist=want_hist)
 
         self._residual_jit = jax.jit(residual)
         self._jac_diags_jit = jax.jit(jac_diags)
@@ -449,12 +457,24 @@ class NavierStokesSolver:
         jac32 = tuple(j.astype(lp) for j in self._jac)
 
         x0 = jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
+        count = [0]
+
+        def chunk(rp, xin, atol_lp):
+            out = self._gmres32_jit(rp, xin, atol_lp, ul32, vl32, jac32)
+            if len(out) == 3:   # 'LGMRES_iter' (f32 inner-loop residuals)
+                xc, infoc, hist = out
+                h = np.asarray(hist)
+                for j in range(int(infoc.iterations)):
+                    print(f"NavierStokes LGMRES: {count[0] + j + 1}\t{h[j]}")
+                count[0] += int(infoc.iterations)
+                return xc, infoc
+            return out
+
         x, info = refined_gmres_host(
             cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
                                           self._jac),
             pc_lp=lambda r32: self._pc32_jit(r32, ul32, vl32),
-            gmres_chunk=lambda rp, xin, atol_lp: self._gmres32_jit(
-                rp, xin, atol_lp, ul32, vl32, jac32),
+            gmres_chunk=chunk,
             b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
             max_refine=self._max_refine)
         return x[:N], x[N:2 * N], x[2 * N:], info, info
@@ -499,10 +519,14 @@ class NavierStokesSolver:
                 dres_u, dres_v, dres_cont, dp0, mtol_f)
         else:
             mtol_s = jnp.asarray(mtol_f, self._dtype)
-            du, dv, dp, schur_info, velo_info = self._update_jit(
+            du, dv, dp, schur_info, velo_info, hist = self._update_jit(
                 place(dres_u, self._dtype), place(dres_v, self._dtype),
                 place(dres_cont, self._dtype),
                 self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
+            if "LGMRES_iter" in self._iprint:
+                h = np.asarray(hist)
+                for j in range(int(schur_info.iterations)):
+                    print(f"NavierStokes LGMRES: {j + 1}\t{h[j]}")
         self.last_schur_info = schur_info
         self.last_velo_info = velo_info
         self.iter_count_solve += 1

@@ -132,31 +132,23 @@ def _c(grid: Grid2D, name: str, dtype):
 
 
 def mm_precision(dtype) -> jax.lax.Precision:
-    """Matmul precision for ACCURACY-CRITICAL operator applies: HIGHEST.
+    """Matmul precision for SEM kernels: always HIGHEST.
 
     TPU MXUs multiply in bf16 by default, which silently destroys Krylov
     orthogonalization and operator accuracy (f32 ``DEFAULT`` ⇒ ~3e-3 relative
-    error); even the 3-pass ``HIGH`` measurably pollutes converged solutions
-    along near-null operator directions (the CD circular-flow antisymmetry
-    defect grows 1e-10 → 2e-7 with ``HIGH`` operator applies).  Residual /
-    system matvecs therefore always use HIGHEST.
+    error).  Lower f32 modes were measured and rejected end-to-end:
+
+    * operator applies at 3-pass ``HIGH`` pollute converged solutions along
+      near-null directions (CD antisymmetry defect 1e-10 → 2e-7);
+    * the NS coupled saddle MATVEC at HIGH stalls the f32 inner GMRES at
+      ~0.22 preconditioned residual at p16 64x64 (HIGHEST converges);
+    * even the FDM *preconditioner* at HIGH floors the left-preconditioned
+      f32 inner solves at ~4e-5 relative (vs the ~1e-5 refinement target),
+      multiplying CD solve iterations ~25x — a left preconditioner is part
+      of the Arnoldi operator, so its rounding nonlinearity caps inner
+      convergence.
     """
     return jax.lax.Precision.HIGHEST
-
-
-def pc_precision(dtype) -> jax.lax.Precision:
-    """Matmul precision for PRECONDITIONER-ONLY applies.
-
-    f64 → HIGHEST; f32 → ``HIGH`` (3-pass bf16, ~true-f32 accuracy at half
-    the MXU cost of HIGHEST).  Safe only where inaccuracy cannot bias the
-    converged answer — preconditioner applications inside Krylov loops whose
-    convergence test is on the true residual (FDM solves, the NS coupled
-    inner-loop operators under f64 iterative refinement, CGS2
-    orthogonalization): measured harmless on the CD/NS/Boussinesq anchors,
-    and worth ~30-40%% of the north-star per-iteration cost.
-    """
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float64
-            else jax.lax.Precision.HIGH)
 
 
 @functools.partial(jax.jit, static_argnums=0)

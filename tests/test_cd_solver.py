@@ -95,3 +95,23 @@ def test_cd_neumann_sides_conserve():
                                    T_W=1.0, T_E=0.0, mtol=1e-12)
     T = np.asarray(cd._get_solution(jnp.zeros(cd.N), jnp.zeros(cd.N)))
     np.testing.assert_allclose(T, 1.0 - cd.points[0], atol=1e-9)
+
+
+def test_lgmres_iter_prints_per_iteration(capsys):
+    """'LGMRES_iter' emits the reference's per-iteration residual lines
+    (reference ConvectionDiffusion_Solver.py:139-144)."""
+    from sem_tpu import ConvectionDiffusionSolver
+    import jax.numpy as jnp
+    cd = ConvectionDiffusionSolver(1.0, 1.0, Pe=5.0, P=3, N_ex=2, N_ey=2,
+                                   T_W=0.5, T_E=-0.5, mtol=1e-10,
+                                   iprint=["LGMRES_iter"])
+    z = jnp.zeros(cd.N)
+    cd._get_solution(z, z)
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines()
+             if l.startswith("ConvectionDiffusion LGMRES: ")]
+    assert len(lines) >= 2
+    # residuals decrease overall: last printed < first printed
+    first = float(lines[0].split("\t")[1])
+    last = float(lines[-1].split("\t")[1])
+    assert last < first

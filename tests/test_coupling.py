@@ -35,17 +35,35 @@ def test_transfer_roundtrip_same_grid_identity():
 QUICK = dict(Re=1e3, Ra=1e3, Pr=0.71, P_cd=3, N_ex_cd=3, N_ey_cd=3,
              P_ns=3, N_ex_ns=3, N_ey_ns=3, iprint=False)
 
+PLOT21 = np.meshgrid(np.linspace(0, 1, 21), np.linspace(0, 1, 21),
+                     indexing="ij")
 
-@pytest.mark.parametrize("mode", ["GS", "NJ", "JNK"])
-def test_mda_modes_agree(mode):
+
+@pytest.fixture(scope="module")
+def gs_reference():
+    """Reference coupled solution (GS mode), computed once per module so
+    every parametrized mode compares against the same fields regardless of
+    execution order or -k selection."""
+    return run(PLOT21, 1.0, 1.0, mode="GS", **QUICK)
+
+
+@pytest.mark.parametrize("mode", ["NJ", "JNK"])
+def test_mda_modes_agree(mode, gs_reference):
     """All three coupling modes converge to the same coupled solution."""
-    x_plot, y_plot = np.meshgrid(np.linspace(0, 1, 21),
-                                 np.linspace(0, 1, 21), indexing="ij")
-    T, u, v = run((x_plot, y_plot), 1.0, 1.0, mode=mode, **QUICK)
-    if not hasattr(test_mda_modes_agree, "_ref"):
-        test_mda_modes_agree._ref = (T, u, v)
-    else:
-        T0, u0, v0 = test_mda_modes_agree._ref
+    T0, u0, v0 = gs_reference
+    T, u, v = run(PLOT21, 1.0, 1.0, mode=mode, **QUICK)
+    np.testing.assert_allclose(T, T0, atol=1e-7)
+    np.testing.assert_allclose(u, u0, atol=1e-8)
+    np.testing.assert_allclose(v, v0, atol=1e-8)
+
+
+def test_jnk_device_matches_host_krylov(gs_reference):
+    """The on-device coupled FGMRES (one dispatch per window, inner block
+    solves included) reproduces the host-orchestrated NumPy FGMRES."""
+    T0, u0, v0 = gs_reference
+    for device in (True, False):
+        T, u, v = run(PLOT21, 1.0, 1.0, mode="JNK",
+                      device_krylov=device, **QUICK)
         np.testing.assert_allclose(T, T0, atol=1e-7)
         np.testing.assert_allclose(u, u0, atol=1e-8)
         np.testing.assert_allclose(v, v0, atol=1e-8)

@@ -143,3 +143,16 @@ def test_f32_path(grid):
     for fn in (ops.apply_mass, ops.apply_stiffness, ops.apply_grad_x):
         out = fn(grid, u)
         assert out.dtype == jnp.float32
+
+
+def test_x2xi_out_of_domain_raises():
+    """Domain guardrail (the reference enforces it through xi2x's range
+    check, reference SEM.py:18-19)."""
+    import pytest
+    from sem_tpu.mesh import x2xi
+    with pytest.raises(ValueError):
+        x2xi(np.array([-0.1, 0.5]), 0.25, N_e=4)
+    with pytest.raises(ValueError):
+        x2xi(np.array([0.5, 1.2]), 0.25, N_e=4)
+    e, xi = x2xi(np.array([0.0, 0.5, 1.0]), 0.25, N_e=4)  # in-domain OK
+    assert e[-1] == 3 and xi[-1] == 1.0

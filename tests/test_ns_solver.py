@@ -83,6 +83,57 @@ def test_ns_lid_driven_divergence_free():
                                atol=1e-12)
 
 
+def test_ns_uzawa_matches_coupled():
+    """The structural-parity Uzawa path (nested Krylov, reference
+    NavierStokes_Solver.py:162-236) and the TPU-native coupled saddle path
+    converge to the same solution."""
+    kw = dict(Re=50.0, Gr=100.0, P=3, N_ex=3, N_ey=3, u_N=1.0,
+              mtol=1e-11, mtol_newton=1e-9, iprint=[])
+    sol = {}
+    for ls in ("coupled", "uzawa"):
+        ns = NavierStokesSolver(1.0, 1.0, linear_solver=ls, **kw)
+        sol[ls] = [np.asarray(f) for f in ns._get_solution(
+            jnp.asarray(0.3 * np.sin(np.pi * ns.points[0])))]
+    for a, b, tol in zip(sol["coupled"], sol["uzawa"],
+                         (1e-7, 1e-7, 1e-4)):  # p carries a ~20 scale
+        np.testing.assert_allclose(a, b, atol=tol)
+
+
+def test_ns_pcd_schur_update_solves_tangent_system():
+    """schur_precon='pcd' converges the linear solve to the same tangent
+    solution as the default mass preconditioner."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=50.0, Gr=10.0, P=3, N_ex=3, N_ey=3,
+                            u_N=1.0, mtol=1e-10, mtol_newton=1e-9,
+                            schur_precon="pcd", iprint=[])
+    N = ns.N
+    u, v, p, T = (RNG.standard_normal(N) * 0.1 for _ in range(4))
+    ns._get_residuals(u, v, p, T)
+    ns._calc_jacobians(u, v)
+    bu, bv, bc = (RNG.standard_normal(N) for _ in range(3))
+    du, dv, dp = ns._get_update(bu, bv, bc)
+    ru, rv, rc = [np.asarray(r) for r in ns._get_dresiduals(du, dv, dp)]
+    scale = np.sqrt(N)
+    assert np.linalg.norm(ru - bu) / scale < 1e-7
+    assert np.linalg.norm(rv - bv) / scale < 1e-7
+    assert np.linalg.norm(rc - bc) / scale < 1e-6
+
+
+def test_ns_pure_f64_matches_mixed_precision():
+    """mixed_precision=False (single-level f64 saddle GMRES) agrees with the
+    default mixed-precision refinement path."""
+    kw = dict(Re=50.0, Gr=100.0, P=3, N_ex=3, N_ey=3, u_N=1.0,
+              mtol=1e-11, mtol_newton=1e-9, iprint=[])
+    T = None
+    sol = {}
+    for mp in (True, False):
+        ns = NavierStokesSolver(1.0, 1.0, mixed_precision=mp, **kw)
+        if T is None:
+            T = jnp.asarray(0.3 * np.sin(np.pi * ns.points[0]))
+        sol[mp] = [np.asarray(f) for f in ns._get_solution(T)]
+    for a, b in zip(sol[True], sol[False]):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_ns_ghia_re100():
     """Lid cavity Re=100 at P=4, 8×8 matches the Ghia table to ~1e-3."""
@@ -96,3 +147,16 @@ def test_ns_ghia_re100():
                        0.00332])
     u_line = np.interp(ghia_y, y_plot[0], u_plot[0])
     assert np.max(np.abs(u_line - ghia_u)) < 5e-3
+
+
+def test_ns_lgmres_iter_prints_per_iteration(capsys):
+    """'LGMRES_iter' emits per-iteration lines on the NS linear solve
+    (reference NavierStokes_Solver.py:215-220)."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=10.0, Gr=0.0, P=3, N_ex=2, N_ey=2,
+                            u_N=1.0, mtol=1e-9, mtol_newton=1e-8,
+                            iprint=["LGMRES_iter"])
+    ns._get_solution(jnp.zeros(ns.N))
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines()
+             if l.startswith("NavierStokes LGMRES: ")]
+    assert len(lines) >= 2
