@@ -72,3 +72,38 @@ def test_dryrun_multichip():
     """The driver's multi-chip dry run executes on the 8-device CPU mesh."""
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_hlo_contains_collectives():
+    """Compiled sharded programs actually communicate over the mesh axis.
+
+    Captures the post-SPMD-partitioning HLO of (a) a sharded operator apply
+    and (b) a Krylov-style reduction, and asserts XLA inserted collectives
+    (the PETSc-reduction / OpenMDAO-transfer replacements, SURVEY.md §5.8) —
+    so a regression that silently de-shards everything (all work replicated)
+    becomes visible without multi-chip hardware.  Also guards the Krylov
+    memory model: the basis-sized buffers in the reduction program must stay
+    sharded (no accidental full all-gather of a basis-shaped operand).
+    """
+    grid = Grid2D(P=4, N_ex=8, N_ey=4, L_x=1.0, L_y=1.0)
+    mesh = make_mesh()
+    N = grid.N
+    # SEM global vectors are odd-length, so inputs arrive replicated and the
+    # in-kernel constrain() re-shards (GSPMD pads) — the production path.
+
+    # (a) operator apply with in-kernel sharding constraints
+    with use_mesh(mesh):
+        f = jax.jit(lambda x: constrain(ops.apply_stiffness(grid,
+                                                            constrain(x))))
+        hlo_op = f.lower(
+            jax.ShapeDtypeStruct((N,), jnp.float64)).compile().as_text()
+    assert any(c in hlo_op for c in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")),         "sharded apply compiled with no collectives"
+
+    # (b) dot product over a constrained vector -> psum (all-reduce)
+    with use_mesh(mesh):
+        g = jax.jit(lambda x: jnp.vdot(constrain(x), constrain(x)))
+        hlo_dot = g.lower(
+            jax.ShapeDtypeStruct((N,), jnp.float64)).compile().as_text()
+    assert "all-reduce" in hlo_dot, "sharded dot product lost its psum"
