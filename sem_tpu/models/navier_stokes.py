@@ -53,6 +53,76 @@ from sem_tpu.parallel.sharding import place
 __all__ = ["NavierStokesSolver"]
 
 
+def _spectral_schur_data(grid: Grid2D):
+    """Constants of the ``'spectral'`` Schur-block preconditioner.
+
+    The consistent pressure Poisson ``E = B M⁻¹ G`` factorizes on the tensor
+    grid (``E = Ex ⊗ M1y + M1x ⊗ Ey`` with ``Ex = G1xᵀ M1x⁻¹ G1x``), and its
+    near-null tail is exactly the near-spurious pressure tail of the
+    equal-order PN-PN discretization that makes the reference's diag-mass
+    Schur preconditioner (reference NavierStokes_Solver.py:208-212) degrade
+    with resolution (measured: ~20 → ~3000 GMRES iterations from P=4 8×8 to
+    p16 64×64; study/schur_spectrum.py).  In the M-orthonormal eigenbasis of
+    the per-direction pencils ``(Ex, M1x)`` the Schur complement
+    ``S ≈ B K⁻¹ G`` is approximately diagonal with per-mode value
+    ``(εx+εy)/(λ̂x+λ̂y)`` (``λ̂`` = stiffness Rayleigh quotients in the same
+    basis), so::
+
+        Ŝ⁻¹ r = Zx [ (λ̂x ⊕ λ̂y)/(εx ⊕ εy) ⊙ (Zxᵀ R Zy) ] Zyᵀ
+
+    — four dense matmuls, exactly an FDM apply.  Measured (Stokes and
+    Boussinesq-wind, study/schur_spectrum.py): iteration counts go flat in
+    resolution (52→181 for mass vs 48→55 for spectral over 4× refinement).
+
+    The boundary rows of S are *exactly* the pressure-stiffness rows
+    ``K[mb,:]`` (the artificial ∂ₙp=0 rows; the divergence block has zero
+    rows there), so they are eliminated exactly: the static boundary-ring
+    block ``K_bb`` is dense-inverted once (size 2·Ngx+2·Ngy−4) and
+    ``dp_b = K_bb⁻¹ (r_b − K_bi dp_int)`` costs one stiffness apply plus one
+    small matmul.
+
+    Returns dict of NumPy constants: Zx, Zy, ginv (Ngx,Ngy), Kbb_inv.
+    """
+    import scipy.linalg
+
+    def pencil(G1, m1, K1):
+        E1 = G1.T @ (G1 / m1[:, None])
+        s = 1.0 / np.sqrt(m1)
+        A1 = (E1 * s[:, None]) * s[None, :]
+        A1 = 0.5 * (A1 + A1.T)
+        lam, Q = scipy.linalg.eigh(A1)
+        Z = s[:, None] * Q
+        lhat = np.einsum("ij,ik,kj->j", Z, K1, Z)
+        return lam, lhat, Z
+
+    ex, lx, Zx = pencil(grid.G1x, grid.m1x, grid.K1x)
+    ey, ly, Zy = pencil(grid.G1y, grid.m1y, grid.K1y)
+    esum = ex[:, None] + ey[None, :]
+    ksum = lx[:, None] + ly[None, :]
+    scale = float(np.max(np.abs(esum)))
+    # only the exact (constant ⊗ constant) null mode is cut — the pressure
+    # pin handles constants; the near-spurious tail is the point of the
+    # method and must NOT be truncated
+    ginv = np.where(np.abs(esum) > 1e-14 * scale,
+                    ksum / np.where(esum == 0.0, 1.0, esum), 0.0)
+
+    # boundary-ring stiffness block in edge-slice order (W row, E row,
+    # S column sans corners, N column sans corners)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    ixb = np.concatenate([np.zeros(Ngy, int), np.full(Ngy, Ngx - 1),
+                          np.arange(1, Ngx - 1), np.arange(1, Ngx - 1)])
+    iyb = np.concatenate([np.arange(Ngy), np.arange(Ngy),
+                          np.zeros(Ngx - 2, int),
+                          np.full(Ngx - 2, Ngy - 1)])
+    # K[(ix1,iy1),(ix2,iy2)] = K1x[ix1,ix2]·m1y[iy1]·δ_y + m1x[ix1]·K1y[iy1,iy2]·δ_x
+    Kbb = (grid.K1x[np.ix_(ixb, ixb)] * grid.m1y[iyb][:, None]
+           * (iyb[:, None] == iyb[None, :])
+           + grid.K1y[np.ix_(iyb, iyb)] * grid.m1x[ixb][:, None]
+           * (ixb[:, None] == ixb[None, :]))
+    Kbb_inv = np.linalg.inv(Kbb)
+    return {"Zx": Zx, "Zy": Zy, "ginv": ginv, "Kbb_inv": Kbb_inv}
+
+
 class NavierStokesSolver:
     def __init__(self, L_x: float, L_y: float, Re: float, Gr: float, P: int,
                  N_ex: int, N_ey: int,
@@ -63,7 +133,7 @@ class NavierStokesSolver:
                  restart_velo: int = 60, maxiter_velo: int = 4000,
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
-                 schur_precon: str = "mass", forcing: float = 1e-3,
+                 schur_precon: str = "spectral", forcing: float = 1e-3,
                  dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
@@ -94,12 +164,16 @@ class NavierStokesSolver:
             identical within mtol_newton.  None = the reference's
             fixed-tolerance behavior; default 1e-3 (~1.7× faster solves).
         :param schur_precon: Schur-block approximation of the coupled
-            preconditioner: ``'mass'`` — inverse diagonal GLL mass (the
-            reference's choice, :208-212; iteration counts grow with
-            resolution); ``'pcd'`` — pressure convection-diffusion
+            preconditioner: ``'spectral'`` (default) — spectrally-matched
+            tensor solve in the eigenbasis of the consistent pressure
+            Poisson pencil + exact boundary-row elimination (measured
+            resolution-independent iteration counts; see
+            ``_spectral_schur_data``); ``'mass'`` — inverse diagonal GLL
+            mass (the reference's choice, :208-212; iteration counts grow
+            ~linearly with 1/h); ``'pcd'`` — pressure convection-diffusion
             Ŝ⁻¹ = M⁻¹ F_p A_p⁻¹ with A_p the FDM pseudo-inverse of the
             Neumann pressure Laplacian and F_p the convection-diffusion
-            operator (near-resolution-independent iteration counts)
+            operator
         """
         self._iprint = list(iprint)
         self._Re = float(Re)
@@ -120,8 +194,9 @@ class NavierStokesSolver:
         if linear_solver not in ("uzawa", "coupled"):
             raise ValueError("linear_solver must be 'uzawa' or 'coupled'")
         self._linear_solver = linear_solver
-        if schur_precon not in ("mass", "pcd"):
-            raise ValueError("schur_precon must be 'mass' or 'pcd'")
+        if schur_precon not in ("mass", "pcd", "spectral"):
+            raise ValueError(
+                "schur_precon must be 'mass', 'pcd' or 'spectral'")
         self._schur_precon = schur_precon
         self._forcing = None if forcing is None else float(forcing)
         # mixed precision: float32 Krylov loops inside float64 iterative
@@ -163,6 +238,9 @@ class NavierStokesSolver:
         self._fdm_p = (FDM2D(self.grid, dirichlet_x=(False, False),
                              dirichlet_y=(False, False))
                        if schur_precon == "pcd" else None)
+        # spectrally-matched Schur block (see _spectral_schur_data)
+        self._spec = (_spectral_schur_data(self.grid)
+                      if schur_precon == "spectral" else None)
 
         # linearization state (u, v of the last _calc_jacobians; convection
         # Jacobian diagonals — reference :123-136 keeps 4 CSR matrices)
@@ -256,9 +334,58 @@ class NavierStokesSolver:
 
         mass_diag = jnp.asarray(grid.mass_diag, dtype=dtype)
         want_hist = "LGMRES_iter" in self._iprint
+        Ngx, Ngy = grid.Ngx, grid.Ngy
+        mb_or_pin = jnp.asarray(np.asarray(mb) | np.asarray(pin))
+
+        def edges_get(Rg):
+            """Boundary-ring values in W/E/S/N edge-slice order (static
+            slices — never a TPU gather)."""
+            return jnp.concatenate([Rg[0, :], Rg[-1, :],
+                                    Rg[1:-1, 0], Rg[1:-1, -1]])
+
+        def edges_set(Rg, vb):
+            Rg = Rg.at[0, :].set(vb[:Ngy]).at[-1, :].set(vb[Ngy:2 * Ngy])
+            Rg = Rg.at[1:-1, 0].set(vb[2 * Ngy:2 * Ngy + Ngx - 2])
+            return Rg.at[1:-1, -1].set(vb[2 * Ngy + Ngx - 2:])
+
+        def _make_spectral(xdtype):
+            """Traceable Ŝ⁻¹ apply of the 'spectral' Schur block (see
+            _spectral_schur_data): tensor solve on interior rows + exact
+            elimination of the (static) boundary stiffness rows — all static
+            slices, no TPU gather/scatter."""
+            Zx = jnp.asarray(self._spec["Zx"].astype(xdtype))
+            Zy = jnp.asarray(self._spec["Zy"].astype(xdtype))
+            ginv = jnp.asarray(self._spec["ginv"].astype(xdtype))
+            Kbb_inv = jnp.asarray(self._spec["Kbb_inv"].astype(xdtype))
+            hi = ops.mm_precision(xdtype)
+
+            def apply_(rp):
+                r_int = jnp.where(mb_or_pin, 0.0, rp).reshape(Ngx, Ngy)
+                W = jnp.matmul(Zx.T, jnp.matmul(r_int, Zy, precision=hi),
+                               precision=hi)
+                dp_g = jnp.matmul(Zx, jnp.matmul(ginv * W, Zy.T,
+                                                 precision=hi), precision=hi)
+                # exact boundary-row elimination: dp_b = K_bb⁻¹(r_b − K_bi dp_i)
+                dp_z = edges_set(dp_g, jnp.zeros(2 * Ngy + 2 * (Ngx - 2),
+                                                 xdtype))
+                z = ops.apply_stiffness(grid, dp_z.reshape(-1))
+                rb = edges_get(rp.reshape(Ngx, Ngy))
+                zb = edges_get(z.reshape(Ngx, Ngy))
+                dp_b = jnp.matmul(Kbb_inv, rb - zb, precision=hi)
+                dp = edges_set(dp_z, dp_b).reshape(-1)
+                return jnp.where(pin, rp, dp)
+
+            return apply_
+
+        spectral_f64 = (_make_spectral(dtype)
+                        if self._schur_precon == "spectral" else None)
 
         def precon_schur(c):
-            """Inverse-diagonal-mass preconditioner (reference :208-212)."""
+            """Schur preconditioner of the Uzawa path: the reference's
+            inverse-diagonal-mass (reference :208-212), or the
+            resolution-robust 'spectral' block."""
+            if self._schur_precon == "spectral":
+                return spectral_f64(c)
             return jnp.where(pin, c, c / mass_diag)
 
         def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0, mtol_s):
@@ -348,9 +475,16 @@ class NavierStokesSolver:
                 drc = jnp.where(pin, dp, drc)
                 return jnp.concatenate([dru, drv, drc])
 
+            spectral_x = (_make_spectral(xdtype)
+                          if self._schur_precon == "spectral" else None)
+
             def pc(r):
                 ru, rv, rp = r[:N], r[N:2 * N], r[2 * N:]
-                if self._schur_precon == "pcd":
+                if self._schur_precon == "spectral":
+                    # resolution-robust spectrally-matched Schur block
+                    # (handles its own boundary/pin rows)
+                    dp = spectral_x(rp)
+                elif self._schur_precon == "pcd":
                     # pressure convection-diffusion Schur approximation:
                     # Ŝ⁻¹ ≈ M⁻¹ F_p A_p⁻¹ (Elman-Silvester-Wathen), with
                     # A_p⁻¹ the FDM pseudo-inverse of the Neumann pressure
@@ -365,9 +499,11 @@ class NavierStokesSolver:
                 else:
                     # reference's diagonal GLL mass (:208-212)
                     dp = rp / md
-                # artificial ∂ₙp=0 rows carry stiffness scale; pin row = id
-                dp = jnp.where(mb, rp / sd, dp)
-                dp = jnp.where(pin, rp, dp)
+                if self._schur_precon != "spectral":
+                    # artificial ∂ₙp=0 rows carry stiffness scale; pin = id
+                    # ('spectral' eliminates the boundary block exactly)
+                    dp = jnp.where(mb, rp / sd, dp)
+                    dp = jnp.where(pin, rp, dp)
                 gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
                 gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
                 # both velocity FDM solves as one batched dispatch
@@ -447,8 +583,8 @@ class NavierStokesSolver:
         dtype = self._dtype
         lp = jnp.float32
         eps = float(np.finfo(np.dtype(dtype)).eps)
-        b = jnp.concatenate([place(res_u, dtype), place(res_v, dtype),
-                             place(res_cont, dtype)])
+        b = place(jnp.concatenate([place(res_u, dtype), place(res_v, dtype),
+                                   place(res_cont, dtype)]), dtype)
         normb = float(jnp.linalg.norm(b))
         atol_eff = max(mtol * np.sqrt(3 * N), max(mtol, 50 * eps) * normb)
 

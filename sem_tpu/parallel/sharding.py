@@ -59,20 +59,32 @@ def field_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def place(x, dtype=None):
-    """Convert to a jnp array, sharded over the active mesh if one is set.
+    """Convert to a jnp array with a *canonical* layout over the active mesh.
 
     This is the single entry point the solvers use to ingest fields; with no
-    active mesh it is ``jnp.asarray``.  SEM global vectors have odd length
-    (N_e·P+1 per direction), which ``device_put`` cannot split evenly — those
-    are left as-is here and re-sharded by the :func:`constrain` annotations
-    inside the jitted kernels (GSPMD pads internally).
+    active mesh it is ``jnp.asarray``.  Divisible lengths get the row-strip
+    sharding; SEM global vectors of odd length (N_e·P+1 per direction), which
+    ``device_put`` cannot split evenly, are **explicitly replicated** and
+    re-sharded by the :func:`constrain` annotations inside the jitted kernels
+    (GSPMD pads internally).
+
+    The explicit replication is load-bearing, not cosmetic: outputs of jitted
+    kernels carry whatever sharding GSPMD's auto-propagation chose (e.g. a
+    ``[4,2] last_tile_dim_replicate`` tiling leaking out of the residual
+    program), and feeding such arrays into the compiled Krylov programs was
+    observed to produce *numerically wrong* solves (residual growth above
+    ‖b‖ in f64 right-preconditioned GMRES with bit-identical input values —
+    only the input layout differed).  Normalizing every program-boundary
+    crossing to a deterministic layout removes the entire class.
     """
     import jax.numpy as jnp
     x = jnp.asarray(x, dtype=dtype)
     mesh = active_mesh()
-    if (mesh is not None and x.ndim == 1
-            and x.shape[0] % mesh.devices.size == 0):
-        x = jax.device_put(x, field_sharding(mesh))
+    if mesh is not None and x.ndim == 1:
+        if x.shape[0] % mesh.devices.size == 0:
+            x = jax.device_put(x, field_sharding(mesh))
+        else:
+            x = jax.device_put(x, NamedSharding(mesh, P()))
     return x
 
 

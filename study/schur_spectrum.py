@@ -1,19 +1,26 @@
-"""Offline spectral study of the NS pressure-Schur complement.
+"""Offline study of the NS pressure-Schur complement preconditioners.
 
-Forms the exact dense coupled Jacobian blocks of the (Boussinesq) NS system
-in the Stokes limit — the same masked rows as ``NavierStokesSolver``'s
-``dres`` (velocity Dirichlet identity rows, artificial ``∂ₙp=0`` stiffness
-rows, pressure pin; reference NavierStokes_Solver.py:114-119, :176-212) —
-eliminates the velocity block exactly, and measures how candidate Schur-block
+Forms the exact coupled Jacobian blocks of the (Boussinesq) NS system in the
+Stokes limit (or with a mild wind) — the same masked rows as
+``NavierStokesSolver``'s ``dres`` (velocity Dirichlet identity rows,
+artificial ``∂ₙp=0`` stiffness rows, pressure pin; reference
+NavierStokes_Solver.py:114-119, :176-212) — eliminates the velocity block
+exactly (sparse LU, offline only), and measures how candidate Schur-block
 preconditioners condition the pressure system across resolutions.
 
 Motivation (round 2): the diagonal-GLL-mass Schur preconditioner (the
 reference's, :208-212) degrades from ~20 to ~3000 GMRES iterations between
-P=4 8x8 and p=16 64x64 — this script identifies the mechanism (equal-order
-P_N-P_N inf-sup decay vs boundary-row scaling vs convection) and ranks the
-fixes offline, where the Schur matrix is small enough to study densely.
+P=4 8x8 and p16 64x64.  Candidate mechanisms tested here:
 
-Usage:  python study/schur_spectrum.py [P Ne [P Ne ...]]
+* **boundary-row scaling** — the boundary rows of S are *exactly* the
+  pressure-stiffness rows ``K[mb, :]`` (the divergence block B has zero rows
+  there), and diagonally-scaled Laplacian rows condition like h⁻²: candidate
+  ``mass+bb`` eliminates the (static!) boundary block exactly;
+* **equal-order inf-sup decay** — spurious pressure modes make S singular in
+  a resolution-dependent way: candidate ``bfbt`` (least-squares commutator)
+  and ``diagS`` (exact |diag(S)|) would both degrade if this dominated.
+
+Usage:  python study/schur_spectrum.py [P Ne [P Ne ...]] [--wind]
 """
 import sys
 import os
@@ -29,7 +36,7 @@ from sem_tpu.mesh import Grid2D
 
 
 def build_blocks(grid: Grid2D, Re=1e3, u=None, v=None):
-    """Dense/sparse blocks of the coupled Jacobian with the solver's masks."""
+    """Sparse blocks of the coupled Jacobian with the solver's masks."""
     N = grid.N
     m1x, m1y = grid.m1x, grid.m1y
     Dx = sp.kron(sp.csr_matrix(grid.K1x), sp.diags(m1y))
@@ -37,7 +44,6 @@ def build_blocks(grid: Grid2D, Re=1e3, u=None, v=None):
     K = (Dx + Dy).tocsr()
     Gx = sp.kron(sp.csr_matrix(grid.G1x), sp.diags(m1y)).tocsr()
     Gy = sp.kron(sp.diags(m1x), sp.csr_matrix(grid.G1y)).tocsr()
-    M = sp.diags(grid.mass_diag).tocsr()
 
     mb = grid.boundary_mask
     pin = np.zeros(N, dtype=bool)
@@ -75,46 +81,51 @@ def build_blocks(grid: Grid2D, Re=1e3, u=None, v=None):
     B = sp.hstack([zero_rows(Gx, mb | pin), zero_rows(Gy, mb | pin)]).tocsr()
     # pressure block: K rows on mb, identity on pin
     C = identity_rows(zero_rows(K, ~mb), pin).tocsr()
-    return A, G, B, C, K, M, mb, pin
+    return A, G, B, C, K, mb, pin
 
 
-def schur_dense(A, G, B, C):
-    lu = spla.splu(A.tocsc())
-    AG = lu.solve(G.toarray())
-    return C.toarray() - B @ AG
+def gmres_count(S_mv, n, Minv_apply, rtol=1e-10, maxiter=3000, restart=200):
+    """Preconditioned GMRES iteration count on S dp = b.
 
-
-def gmres_count(S, Minv_apply, atol_rel=1e-10, maxiter=2000):
-    """Right-preconditioned GMRES iteration count on S dp = b."""
-    n = S.shape[0]
-    b = np.random.default_rng(0).standard_normal(n)
+    The RHS is made *consistent* (b = S x_true): the equal-order PN-PN
+    discretization carries (near-)spurious pressure modes, so a random b has
+    components outside range(S) that no solver can remove — while the
+    solver's actual Schur RHSs are residuals, hence consistent (this is why
+    the reference's Schur GMRES converges at all,
+    reference NavierStokes_Solver.py:222-226)."""
+    b = S_mv(np.random.default_rng(0).standard_normal(n))
     it = {"n": 0}
 
     def cb(_):
         it["n"] += 1
 
     Mop = spla.LinearOperator((n, n), matvec=Minv_apply)
-    Sop = spla.LinearOperator((n, n), matvec=lambda x: S @ x)
-    x, info = spla.gmres(Sop, b, M=Mop, rtol=atol_rel, atol=0.0,
-                         restart=200, maxiter=max(1, maxiter // 200),
+    Sop = spla.LinearOperator((n, n), matvec=S_mv)
+    x, info = spla.gmres(Sop, b, M=Mop, rtol=rtol, atol=0.0,
+                         restart=restart, maxiter=max(1, maxiter // restart),
                          callback=cb, callback_type="pr_norm")
-    res = np.linalg.norm(b - S @ x) / np.linalg.norm(b)
-    return it["n"], res, info
+    res = np.linalg.norm(b - S_mv(x)) / np.linalg.norm(b)
+    return it["n"], res
 
 
-def run_config(P, Ne, Re=1e3, with_wind=False):
+def run_config(P, Ne, Re=1e3, with_wind=False, candidates=None):
     grid = Grid2D(P, Ne, Ne, 1.0, 1.0)
     N = grid.N
     u = v = None
     if with_wind:
+        # Boussinesq-cavity velocity magnitude (u_max·RePr ≈ 3.65 ⇒ ~5e-3)
         pts = grid.points
         u = 0.005 * np.sin(np.pi * pts[0]) * np.cos(np.pi * pts[1])
         v = -0.005 * np.cos(np.pi * pts[0]) * np.sin(np.pi * pts[1])
-    A, G, B, C, K, M, mb, pin = build_blocks(grid, Re=Re, u=u, v=v)
-    S = schur_dense(A, G, B, C)
+    A, G, B, C, K, mb, pin = build_blocks(grid, Re=Re, u=u, v=v)
+    lu = spla.splu(A.tocsc())
+
+    def S_mv(dp):
+        return C @ dp - B @ lu.solve(np.asarray(G @ dp))
 
     md = grid.mass_diag
     sd = grid.stiff_diag
+    ib = np.where(mb)[0]
 
     # --- candidate Schur preconditioners ---------------------------------
     def mass_inv(r):
@@ -123,43 +134,122 @@ def run_config(P, Ne, Re=1e3, with_wind=False):
         dp = np.where(pin, r, dp)
         return dp
 
-    # BFBt / least-squares commutator:
-    #   S^-1 ~ (B M^-1 G)^+ (B M^-1 A M^-1 G) (B M^-1 G)^+
-    Minv2 = sp.diags(np.concatenate([1.0 / md, 1.0 / md]))
-    BMG = (B @ Minv2 @ G).toarray()
-    BMAMG = (B @ Minv2 @ A @ Minv2 @ G).toarray()
-    BMG_pinv = np.linalg.pinv(BMG, rcond=1e-10)
+    # exact boundary-block elimination: interior rows by inverse mass, then
+    # the (static) boundary block K_bb dp_b = r_b - K_bi dp_i exactly
+    K_bb = K[np.ix_(ib, ib)].toarray()
+    K_bb_inv = np.linalg.inv(K_bb)
 
-    def bfbt_inv(r):
-        return BMG_pinv @ (BMAMG @ (BMG_pinv @ r))
+    def mass_bb_inv(r):
+        dp = r / md
+        dp = np.where(pin, r, dp)
+        dp_b = K_bb_inv @ (r[ib] - (K[ib] @ np.where(mb, 0.0, dp)))
+        dp = dp.copy()
+        dp[ib] = dp_b
+        return np.where(pin, r, dp)
+
+    # BFBt / least-squares commutator
+    def make_bfbt():
+        Minv2 = sp.diags(np.concatenate([1.0 / md, 1.0 / md]))
+        BMG = (B @ Minv2 @ G).toarray()
+        BMAMG = (B @ Minv2 @ A @ Minv2 @ G).toarray()
+        BMG_pinv = np.linalg.pinv(BMG, rcond=1e-10)
+
+        def bfbt_inv(r):
+            return BMG_pinv @ (BMAMG @ (BMG_pinv @ r))
+        return bfbt_inv
 
     # exact |diag(S)| scaling (tests whether pure row scaling is the issue)
-    dS = np.abs(np.diag(S)) + 1e-300
+    def make_diagS():
+        dS = np.array([S_mv(e)[i] for i, e in enumerate(np.eye(N))]) \
+            if N <= 1200 else None
+        if dS is None:
+            return None
+        dS = np.abs(dS) + 1e-300
 
-    def diag_inv(r):
-        return r / dS
+        def diag_inv(r):
+            return r / dS
+        return diag_inv
 
-    rows = []
-    for name, Mi in (("mass", mass_inv), ("bfbt", bfbt_inv),
-                     ("diagS", diag_inv)):
-        # eigenvalues of the preconditioned Schur (right precon)
-        SM = S @ np.array([Mi(e) for e in np.eye(N)]).T
-        ev = np.linalg.eigvals(SM)
-        ev = ev[np.abs(ev) > 1e-13 * np.abs(ev).max()]
-        it, res, info = gmres_count(S, Mi)
-        rows.append((name, it, res, np.abs(ev).min(), np.abs(ev).max(),
-                     np.abs(ev).max() / np.abs(ev).min()))
+    # --- tensor-structured candidates -----------------------------------
+    # The consistent pressure Poisson E = B M⁻¹ G factorizes on this grid:
+    # E = Ex ⊗ diag(m1y) + diag(m1x) ⊗ Ey with Ex = G1xᵀ m1x⁻¹ G1x — so its
+    # (pseudo-)inverse is an FDM apply (4 dense matmuls), and E's near-null
+    # tail *matches* S's near-spurious pressure modes (both come from G).
+    def _e_pencil(G1, m1):
+        import scipy.linalg
+        Ex = G1.T @ np.diag(1.0 / m1) @ G1
+        s = 1.0 / np.sqrt(m1)
+        A1 = (Ex * s[:, None]) * s[None, :]
+        A1 = 0.5 * (A1 + A1.T)
+        lam, Q = scipy.linalg.eigh(A1)
+        Z = s[:, None] * Q
+        return lam, Z
+
+    def _k_rayleigh(K1, Z):
+        """Per-mode Rayleigh quotients of the 1D stiffness in the E-basis."""
+        return np.einsum("ij,ik,kj->j", Z, K1, Z)
+
+    def make_tensor(kind):
+        ex, Zx = _e_pencil(grid.G1x, m1x_v)
+        ey, Zy = _e_pencil(grid.G1y, m1y_v)
+        esum = ex[:, None] + ey[None, :]
+        if kind == "einv":
+            scale = np.max(np.abs(esum))
+            ginv = np.where(np.abs(esum) > 1e-12 * scale, 1.0 / esum, 0.0)
+        else:  # 'specS': Ŝ ≈ E / K mode-by-mode (S ~ B K⁻¹ G vs E = B M⁻¹ G)
+            lx = _k_rayleigh(grid.K1x, Zx)
+            ly = _k_rayleigh(grid.K1y, Zy)
+            ksum = lx[:, None] + ly[None, :]
+            scale = np.max(np.abs(esum))
+            ginv = np.where(np.abs(esum) > 1e-14 * scale, ksum / esum, 0.0)
+        Ngx, Ngy = grid.Ngx, grid.Ngy
+
+        def apply_(r):
+            # interior rows through the tensor solve; boundary rows by
+            # stiffness-Jacobi; pin identity (as the solver's pc does)
+            r_int = np.where(mb | pin, 0.0, r).reshape(Ngx, Ngy)
+            W = Zx.T @ r_int @ Zy
+            dp = (Zx @ (ginv * W) @ Zy.T).reshape(-1)
+            dp = np.where(mb, r / sd, dp)
+            return np.where(pin, r, dp)
+        return apply_
+
+    m1x_v, m1y_v = grid.m1x, grid.m1y
+
+    def make_specs_bb():
+        base = make_tensor("specS")
+
+        def apply_(r):
+            dp = base(r)
+            dp_b = K_bb_inv @ (r[ib] - (K[ib] @ np.where(mb, 0.0, dp)))
+            dp = dp.copy()
+            dp[ib] = dp_b
+            return np.where(pin, r, dp)
+        return apply_
+
+    cands = {"mass": lambda: mass_inv, "mass+bb": lambda: mass_bb_inv,
+             "bfbt": make_bfbt, "diagS": make_diagS,
+             "einv": lambda: make_tensor("einv"),
+             "specS": lambda: make_tensor("specS"),
+             "specS+bb": make_specs_bb}
+    names = candidates or ["mass", "specS", "specS+bb"]
     wind = "wind" if with_wind else "stokes"
-    print(f"P={P} Ne={Ne} N={N} ({wind}):")
-    for name, it, res, lo, hi, kappa in rows:
-        print(f"  {name:6s} gmres_iters={it:5d} final_rel={res:.1e} "
-              f"|ev| in [{lo:.3e}, {hi:.3e}]  spread={kappa:.2e}")
-    return rows
+    print(f"P={P} Ne={Ne} N={N} ({wind}):", flush=True)
+    for name in names:
+        Mi = cands[name]()
+        if Mi is None:
+            continue
+        it, res = gmres_count(S_mv, N, Mi)
+        print(f"  {name:8s} gmres_iters={it:5d} final_rel={res:.1e}",
+              flush=True)
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    configs = (list(zip(args[::2], args[1::2])) if args
-               else [(4, 4), (4, 8), (4, 12), (8, 4), (8, 8)])
+    args = sys.argv[1:]
+    wind = "--wind" in args
+    args = [a for a in args if a != "--wind"]
+    vals = [int(a) for a in args]
+    configs = (list(zip(vals[::2], vals[1::2])) if vals
+               else [(4, 4), (4, 8), (4, 16), (8, 8), (8, 16)])
     for (P, Ne) in configs:
-        run_config(P, Ne)
+        run_config(P, Ne, with_wind=wind)
