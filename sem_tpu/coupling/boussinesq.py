@@ -30,7 +30,58 @@ from sem_tpu.coupling.mda import BoussinesqMDA, CoupledState
 from sem_tpu.models.convection_diffusion import ConvectionDiffusionSolver
 from sem_tpu.models.navier_stokes import NavierStokesSolver
 
-__all__ = ["run", "run_parallel", "build_coupled"]
+__all__ = ["run", "run_parallel", "build_coupled", "solve_continued"]
+
+
+def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
+                    **kwargs):
+    """p-continuation solve of the coupled Boussinesq problem.
+
+    Solves the problem on a ladder of ``levels`` coarser polynomial orders
+    (P halved per level, floored at 2; element counts fixed), prolonging
+    each level's solution to the next via the cross-mesh transfer operators
+    (:func:`sem_tpu.interp.apply_transfer`) and warm-starting the MDA with
+    it.  For the smooth Boussinesq cavity flows, a P/2 solution prolonged to
+    order P already satisfies the coupled equations to near its truncation
+    error, so the fine level converges in 1-2 iterations instead of from
+    scratch — the decisive lever for the large-p wall-clock targets (each
+    coarse level costs ~(1/4)^levels of the fine level per iteration).
+
+    Capability beyond the reference (which always solves each configuration
+    from zero, reference Boussinesq_SequentialCoupler.py:66-73); the fine
+    level's convergence test is unchanged, so the result satisfies exactly
+    the same tolerances.
+
+    :param levels: number of coarser levels below the target order
+    :param kwargs: forwarded to :func:`build_coupled` (P_cd/P_ns etc.)
+    :return: (cd, ns, mda, state) of the finest level
+    """
+    P_cd = kwargs.pop("P_cd", 4)
+    P_ns = kwargs.pop("P_ns", 4)
+    iprint = kwargs.get("iprint", True)
+    ladder = [(max(2, P_cd >> k), max(2, P_ns >> k))
+              for k in range(levels, 0, -1)] + [(P_cd, P_ns)]
+    # drop duplicate coarse levels created by the floor
+    ladder = [lv for i, lv in enumerate(ladder)
+              if i == 0 or lv != ladder[i - 1]]
+
+    state = state0
+    prev = None
+    for (Pc, Pn) in ladder:
+        cd, ns, mda = build_coupled(L_x, L_y, P_cd=Pc, P_ns=Pn, **kwargs)
+        if state is not None and prev is not None:
+            from sem_tpu.interp import apply_transfer
+            cd0, ns0 = prev
+            state = CoupledState(
+                T=apply_transfer(cd0.grid, cd.grid, state.T),
+                u=apply_transfer(ns0.grid, ns.grid, state.u),
+                v=apply_transfer(ns0.grid, ns.grid, state.v),
+                p=apply_transfer(ns0.grid, ns.grid, state.p))
+        if iprint:
+            print(f"Boussinesq continuation level P_cd={Pc} P_ns={Pn}")
+        state = mda.solve(state)
+        prev = (cd, ns)
+    return cd, ns, mda, state
 
 
 def build_coupled(L_x: float, L_y: float,

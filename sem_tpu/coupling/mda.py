@@ -347,12 +347,13 @@ class BoussinesqMDA:
         s = s0.copy() if s0 is not None else CoupledState(zcd, zns, zns, zns)
         self.stats = MDAStats()
 
+        warm = s0 is not None
         if self.mode == "GS":
             s = self._solve_gs(s)
         elif self.mode == "NJ":
-            s = self._solve_newton(s, krylov=False)
+            s = self._solve_newton(s, krylov=False, warm=warm)
         else:  # JNK
-            s = self._solve_newton(s, krylov=True)
+            s = self._solve_newton(s, krylov=True, warm=warm)
 
         self.stats.cd_solves = self.cd_comp.iter_count_solve
         self.stats.ns_solves = self.ns_comp.iter_count_solve
@@ -369,11 +370,20 @@ class BoussinesqMDA:
         raise RuntimeError(
             f"Boussinesq GS: no convergence in {self.maxiter} iterations")
 
-    def _solve_newton(self, s: CoupledState, krylov: bool) -> CoupledState:
+    def _solve_newton(self, s: CoupledState, krylov: bool,
+                      warm: bool = False) -> CoupledState:
         # iteration-0 subsystem solve (solve_subsystems=True, max_sub_solves=0)
         # — an initializer, run loosely (mtol_subsolve); Newton then converges
-        # the true coupled residual
-        s = self._gs_sweep(s, mtol=self.mtol_subsolve)
+        # the true coupled residual.  A warm start already at least as good
+        # as the loose sweep target (e.g. a p-continuation prolongation,
+        # boussinesq.solve_continued) skips the sweep — re-solving the
+        # disciplines at mtol_subsolve would *degrade* it.
+        if warm:
+            norm0 = np.linalg.norm(self._residuals(s))
+            if norm0 > self.mtol_subsolve * np.sqrt(self.DOF):
+                s = self._gs_sweep(s, mtol=self.mtol_subsolve)
+        else:
+            s = self._gs_sweep(s, mtol=self.mtol_subsolve)
         F = self._residuals(s)
         norm = np.linalg.norm(F)
         for k in range(1, self.maxiter + 1):

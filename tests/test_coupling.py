@@ -87,6 +87,29 @@ def test_unknown_mode_raises():
         build_coupled(1.0, 1.0, mode="XX")
 
 
+def test_solve_continued_matches_direct():
+    """p-continuation (coarse-order warm starts) reaches the same solution
+    as a direct solve within the coupled tolerance, with strictly less
+    fine-level work."""
+    from sem_tpu.coupling.boussinesq import solve_continued
+
+    kw = dict(Re=1e3, Ra=1e3, Pr=0.71, N_ex_cd=4, N_ey_cd=4,
+              N_ex_ns=4, N_ey_ns=4, mode="JNK", mtol_nonlin=1e-9,
+              iprint=False)
+    cd, ns, mda = build_coupled(1.0, 1.0, P_cd=4, P_ns=4, **kw)
+    s_direct = mda.solve()
+    direct_solves = mda.stats.cd_solves + mda.stats.ns_solves
+
+    cd2, ns2, mda2, s_cont = solve_continued(1.0, 1.0, levels=1,
+                                             P_cd=4, P_ns=4, **kw)
+    cont_fine_solves = mda2.stats.cd_solves + mda2.stats.ns_solves
+    np.testing.assert_allclose(np.asarray(s_cont.u), np.asarray(s_direct.u),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_cont.T), np.asarray(s_direct.T),
+                               atol=1e-6)
+    assert cont_fine_solves < direct_solves
+
+
 @pytest.mark.slow
 def test_de_vahl_davis_benchmark():
     """Full reference configuration: Ra=1e3, P=4, 8×8, JNK (reference
