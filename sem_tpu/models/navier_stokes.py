@@ -81,9 +81,27 @@ def _spectral_schur_data(grid: Grid2D):
     ``dp_b = K_bb⁻¹ (r_b − K_bi dp_int)`` costs one stiffness apply plus one
     small matmul.
 
+    Built once per grid configuration; at p16 64×64 the dense boundary-ring
+    inverse plus the pencil eigendecompositions cost ~30 s of host LAPACK,
+    so the result is persisted to the :mod:`sem_tpu` cache directory
+    (``SEM_TPU_CACHE_DIR``, alongside the XLA compilation cache; disable
+    with ``SEM_TPU_CACHE=0``) keyed by the grid configuration.
+
     Returns dict of NumPy constants: Zx, Zy, ginv (Ngx,Ngy), Kbb_inv.
     """
+    import os
     import scipy.linalg
+
+    cache_file = None
+    if os.environ.get("SEM_TPU_CACHE", "1") != "0":
+        cdir = os.environ.get("SEM_TPU_CACHE_DIR",
+                              os.path.expanduser("~/.cache/sem_tpu_jax"))
+        key = (f"spectral_v1_{grid.P}_{grid.N_ex}_{grid.N_ey}"
+               f"_{grid.L_x}_{grid.L_y}.npz")
+        cache_file = os.path.join(cdir, key)
+        if os.path.exists(cache_file):
+            with np.load(cache_file) as z:
+                return {k: z[k] for k in ("Zx", "Zy", "ginv", "Kbb_inv")}
 
     def pencil(G1, m1, K1):
         E1 = G1.T @ (G1 / m1[:, None])
@@ -92,7 +110,7 @@ def _spectral_schur_data(grid: Grid2D):
         A1 = 0.5 * (A1 + A1.T)
         lam, Q = scipy.linalg.eigh(A1)
         Z = s[:, None] * Q
-        lhat = np.einsum("ij,ik,kj->j", Z, K1, Z)
+        lhat = (Z * (K1 @ Z)).sum(axis=0)  # per-mode Rayleigh quotients
         return lam, lhat, Z
 
     ex, lx, Zx = pencil(grid.G1x, grid.m1x, grid.K1x)
@@ -120,7 +138,16 @@ def _spectral_schur_data(grid: Grid2D):
            + grid.K1y[np.ix_(iyb, iyb)] * grid.m1x[ixb][:, None]
            * (ixb[:, None] == ixb[None, :]))
     Kbb_inv = np.linalg.inv(Kbb)
-    return {"Zx": Zx, "Zy": Zy, "ginv": ginv, "Kbb_inv": Kbb_inv}
+    out = {"Zx": Zx, "Zy": Zy, "ginv": ginv, "Kbb_inv": Kbb_inv}
+    if cache_file is not None:
+        try:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            tmp = cache_file + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, **out)
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass  # cache is best-effort
+    return out
 
 
 class NavierStokesSolver:
