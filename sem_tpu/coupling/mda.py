@@ -157,6 +157,13 @@ class BoussinesqMDA:
         Pass None to reproduce the reference's behavior exactly.
     :param iprint: True ⇒ per-iteration residual lines (OpenMDAO iprint=2
         analog)
+    :param forcing: inexact-Newton forcing factor η on the coupled JNK
+        GMRES: each Newton step's linear system is solved only to absolute
+        tolerance max(mtol_gmres·√DOF, η·‖F‖) (Dembo-Eisenstat-Steihaug) —
+        early Newton steps get cheap loose solves, the final steps tighten
+        automatically; the Newton convergence test is unchanged.  None
+        reproduces the reference's fixed-tolerance behavior
+        (om.ScipyKrylov/PETScKrylov with a fixed atol)
     :param device_krylov: run the coupled JNK flexible GMRES **on device**
         (one XLA dispatch per restart window, inner block-Jacobi discipline
         solves included) instead of the host-orchestrated NumPy loop whose
@@ -176,7 +183,8 @@ class BoussinesqMDA:
                  mtol_gmres: float = 1e-10, restart: int = 20,
                  maxiter: int = None, gmres_maxiter: int = 5000,
                  mtol_precon: float = 1e-4, mtol_subsolve: float = 1e-6,
-                 iprint: bool = True, device_krylov: bool = None):
+                 iprint: bool = True, device_krylov: bool = None,
+                 forcing: float = 1e-3):
         if mode not in ("GS", "NJ", "JNK"):
             raise ValueError("Unknown method")  # parity: reference :93
         self.cd_comp = cd_comp
@@ -194,6 +202,7 @@ class BoussinesqMDA:
         self.mtol_subsolve = mtol_subsolve
         self.maxiter = maxiter if maxiter is not None else (
             100 if mode == "JNK" else 1000)
+        self.forcing = None if forcing is None else float(forcing)
         self.iprint = iprint
         if device_krylov is None:
             device_krylov = self.DOF <= 1_000_000
@@ -306,13 +315,14 @@ class BoussinesqMDA:
 
         return jax.jit(cycle)
 
-    def _fgmres_device(self, b):
+    def _fgmres_device(self, b, atol=None):
         """Drive on-device FGMRES windows until converged (warm-started)."""
         if self._jnk_cycle_jit is None:
             self._jnk_cycle_jit = self._build_jnk_cycle()
         cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
         b = jnp.asarray(b)
-        atol = jnp.asarray(self.atol_gmres, b.dtype)
+        atol = jnp.asarray(self.atol_gmres if atol is None else atol,
+                           b.dtype)
         x = jnp.zeros_like(b)
         total = 0
         while True:
@@ -393,14 +403,17 @@ class BoussinesqMDA:
                 return s
             self._linearize(s)
             if krylov:
+                atol_k = self.atol_gmres
+                if self.forcing is not None:
+                    atol_k = max(atol_k, self.forcing * norm)
                 if self.device_krylov:
-                    dx, iters, ok = self._fgmres_device(-F)
+                    dx, iters, ok = self._fgmres_device(-F, atol=atol_k)
                 else:
                     precon = lambda r: self._block_jacobi(
                         r, mtol=self.mtol_precon)
                     dx, iters, ok = _fgmres(
                         self._apply_linear, precon, -F,
-                        atol=self.atol_gmres, restart=self.restart,
+                        atol=atol_k, restart=self.restart,
                         maxiter=self.gmres_maxiter,
                         callback=(lambda it, res: print(
                             f"   JNK GMRES: {it}\t{res}")

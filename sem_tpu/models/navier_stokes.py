@@ -466,7 +466,20 @@ class NavierStokesSolver:
             m1y = jnp.asarray(grid.m1y.astype(xdtype))[None, :]
             hi = ops.mm_precision(xdtype)
 
+            from sem_tpu.ops import (apply_coupled_system_pallas,
+                                     coupled_pallas_wanted)
+            use_pallas = coupled_pallas_wanted(grid, xdtype)
+
             def mv(q):
+                if use_pallas:
+                    # fused block-banded Pallas kernel: all six banded 1D
+                    # operator products + combination + row masking in one
+                    # pass (sem_tpu.ops.pallas_kernels._coupled_kernel)
+                    out = apply_coupled_system_pallas(
+                        grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
+                        jnp.asarray(Re, xdtype))
+                    drc = jnp.where(pin, q[2 * N:], out[2 * N:])
+                    return jnp.concatenate([out[:2 * N], drc])
                 # Fused coupled matvec: ALL twelve 1D operator products
                 # (K/Gx/Gy applied to du, dv, dp) come from exactly TWO
                 # large matmuls — at SEM sizes TPU matmuls are latency-bound,

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from sem_tpu.mesh import Grid2D
 from sem_tpu import operators as ops
 
-__all__ = ["apply_system_pallas", "apply_system_best"]
+__all__ = ["apply_system_pallas", "apply_system_best",
+           "apply_coupled_system_pallas"]
 
 _B = 128  # row/column block size (≥ the 1D operator half-band for P ≤ 63)
 
@@ -182,6 +183,141 @@ def apply_system_pallas(grid: Grid2D, u: jax.Array, v: jax.Array,
     return out[:Ngx, _B:_B + Ngy].reshape(-1)
 
 
+def _coupled_kernel():
+    """Fused coupled (du, dv, dp) saddle matvec: the NS solver's hot
+    operator (NavierStokesSolver._coupled_ops.mv — the tangent residual
+    rows of reference NavierStokes_Solver.py:138-160) in ONE kernel pass.
+
+    2D-tiled: each (i, j) program computes one (B, B) output tile of all
+    three residual fields from the (3B, B) row band and (B, 3B) column band
+    of each input field — all six banded 1D operator products, the
+    mass-weighted combinations, the convection and Jacobian-diagonal terms,
+    and the Dirichlet/∂ₙp=0 row masking happen in VMEM on ~(B, B) tiles
+    (the 1D-row-tiled variant held (B, 3·Cy) strips and ran out of scoped
+    VMEM at p16 64×64).
+    """
+    def kernel(um1_ref, uc_ref, up1_ref, ujm_ref, ujp_ref,
+               vm1_ref, vc_ref, vp1_ref, vjm_ref, vjp_ref,
+               pm1_ref, pc_ref, pp1_ref, pjm_ref, pjp_ref,
+               ul_ref, vl_ref, jxx_ref, jxy_ref, jyx_ref, jyy_ref, mb_ref,
+               bx_ref, by_ref, m1x_ref, m1y_ref, coef_ref,
+               dru_ref, drv_ref, drc_ref):
+        m1x = m1x_ref[:]          # (B, 1)
+        m1y = m1y_ref[:]          # (1, B)
+        coef = coef_ref[0, 0]
+        hi = jax.lax.Precision.HIGHEST
+
+        def field_parts(rm1, rc, rp1, rjm, rjp):
+            wcol = jnp.concatenate([rm1[:], rc[:], rp1[:]], axis=0)  # (3B,B)
+            xL = jnp.dot(bx_ref[0], wcol,
+                         preferred_element_type=wcol.dtype,
+                         precision=hi)                               # (2B,B)
+            wrow = jnp.concatenate([rjm[:], rc[:], rjp[:]], axis=1)  # (B,3B)
+            yR = jnp.dot(wrow, by_ref[0, 0],
+                         preferred_element_type=wrow.dtype,
+                         precision=hi)                               # (B,2B)
+            Kx, Gx = xL[:_B], xL[_B:]
+            Ky, Gy = yR[:, :_B], yR[:, _B:]
+            return Kx * m1y + m1x * Ky, Gx * m1y, m1x * Gy
+
+        Ku, gxu, gyu = field_parts(um1_ref, uc_ref, up1_ref, ujm_ref,
+                                   ujp_ref)
+        Kv, gxv, gyv = field_parts(vm1_ref, vc_ref, vp1_ref, vjm_ref,
+                                   vjp_ref)
+        Kp, gxp, gyp = field_parts(pm1_ref, pc_ref, pp1_ref, pjm_ref,
+                                   pjp_ref)
+        du, dv, dp = uc_ref[:], vc_ref[:], pc_ref[:]
+        ul, vl = ul_ref[:], vl_ref[:]
+        mb = mb_ref[:]            # 1.0 on Dirichlet rows, 0.0 elsewhere
+        dru = Ku + coef * (ul * gxu + vl * gyu) \
+            + jxx_ref[:] * du + jxy_ref[:] * dv + gxp
+        drv = Kv + coef * (ul * gxv + vl * gyv) \
+            + jyx_ref[:] * du + jyy_ref[:] * dv + gyp
+        drc = gxu + gyv
+        one = jnp.ones((), du.dtype)
+        dru_ref[:] = mb * du + (one - mb) * dru
+        drv_ref[:] = mb * dv + (one - mb) * drv
+        # artificial ∂ₙp=0 rows carry the pressure-stiffness rows
+        drc_ref[:] = mb * Kp + (one - mb) * drc
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
+                                ul: jax.Array, vl: jax.Array,
+                                jac, mb: jax.Array, coef,
+                                interpret: bool = False) -> jax.Array:
+    """Fused coupled saddle matvec ``(dru, drv, drc)`` for ``q=(du,dv,dp)``.
+
+    Pallas analog of the fused two-matmul coupled matvec in
+    ``NavierStokesSolver._coupled_ops``; excludes the pressure-pin row
+    (a single element — callers apply it afterwards).  f32/bf16 only.
+
+    :param jac: convection Jacobian diagonal vectors ``(jxx, jxy, jyx, jyy)``
+    :param mb: boundary (Dirichlet-row) mask, flat bool/float ``(N,)``
+    """
+    dt = q.dtype
+    bx, by, m1x, m1y, nbx, nby, Cx, Cy = _banded_constants(grid, dt.name)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    N = grid.N
+
+    def pad_field(f):
+        F = f.reshape(Ngx, Ngy)
+        return jnp.pad(F, ((_B, Cx - _B - Ngx), (_B, Cy - _B - Ngy)))
+
+    Up, Vp, Pp = (pad_field(q[k * N:(k + 1) * N]) for k in range(3))
+    Ulp = pad_field(ul.astype(dt))
+    Vlp = pad_field(vl.astype(dt))
+    jxx, jxy, jyx, jyy = (pad_field(j.astype(dt)) for j in jac)
+    mbp = pad_field(mb.astype(dt))
+    coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
+    # per-column-block y-operator bands reshaped for (i, j) indexing
+    by4 = by.reshape(nby, 1, 3 * _B, 2 * _B)
+
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+
+    def spec(di, dj):
+        return pl.BlockSpec((_B, _B),
+                            lambda i, j: (i32(i + di), i32(j + dj)),
+                            memory_space=pltpu.VMEM)
+
+    halo5 = [spec(0, 1), spec(1, 1), spec(2, 1),   # rows i-1, i, i+1
+             spec(1, 0), spec(1, 2)]               # cols j-1, j+1
+    ctr = spec(1, 1)
+    with jax.enable_x64(False):
+        dru, drv, drc = pl.pallas_call(
+            _coupled_kernel(),
+            grid=(nbx, nby),
+            in_specs=(halo5 * 3) + [ctr] * 7 + [
+                pl.BlockSpec((1, 2 * _B, 3 * _B),
+                             lambda i, j: (i32(i), i32(0), i32(0)),
+                             memory_space=pltpu.VMEM),          # bx block
+                pl.BlockSpec((1, 1, 3 * _B, 2 * _B),
+                             lambda i, j: (i32(j), i32(0), i32(0), i32(0)),
+                             memory_space=pltpu.VMEM),          # by block
+                pl.BlockSpec((_B, 1), lambda i, j: (i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),          # m1x block
+                pl.BlockSpec((1, _B), lambda i, j: (i32(0), i32(j)),
+                             memory_space=pltpu.VMEM),          # m1y block
+                pl.BlockSpec(memory_space=pltpu.SMEM),          # coef
+            ],
+            out_specs=[pl.BlockSpec((_B, _B),
+                                    lambda i, j: (i32(i), i32(j)),
+                                    memory_space=pltpu.VMEM)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nbx * _B, nby * _B), dt)] * 3,
+            interpret=interpret,
+        )(Up, Up, Up, Up, Up, Vp, Vp, Vp, Vp, Vp, Pp, Pp, Pp, Pp, Pp,
+          Ulp, Vlp, jxx, jxy, jyx, jyy, mbp,
+          jnp.asarray(bx), jnp.asarray(by4),
+          jnp.asarray(m1x), jnp.asarray(m1y.reshape(1, -1)[:, _B:]),
+          coef_arr)
+
+    def unpad(o):
+        return o[:Ngx, :Ngy].reshape(-1)
+
+    return jnp.concatenate([unpad(dru), unpad(drv), unpad(drc)])
+
+
 # empirical crossover on v5e: below this the per-program fixed costs of the
 # banded kernel exceed the saved matmul work (P=8 32x32 = 66k: XLA wins;
 # p=16 64x64 = 1.05M: Pallas is ~1.8x faster)
@@ -196,3 +332,10 @@ def apply_system_best(grid: Grid2D, u, v, w, coef):
             and jax.default_backend() == "tpu"):
         return apply_system_pallas(grid, u, v, w, coef)
     return ops.apply_system(grid, u, v, w, coef)
+
+
+def coupled_pallas_wanted(grid: Grid2D, dtype) -> bool:
+    """Whether the coupled saddle matvec should route through the Pallas
+    kernel (same crossover policy as :func:`apply_system_best`)."""
+    return (dtype != jnp.float64 and grid.N >= _PALLAS_MIN_N
+            and jax.default_backend() == "tpu")
