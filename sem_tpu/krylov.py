@@ -147,18 +147,28 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
          hist) = state
 
         w = matvec(precon(V[k]))
-        # block-MGS with one reorthogonalization sweep (≥ CGS2 stability):
+        # block-MGS with a DGKS-selective reorthogonalization sweep:
         # chunk-scans over the live rows of the Krylov buffer instead of a
         # sequential per-vector loop (latency-bound on TPU) or monolithic
         # full-buffer matmuls (which read all (m+1)·n even when only k rows
         # are live) — these bandwidth-bound basis sweeps are the dominant
-        # per-iteration cost at SEM sizes.  A selective (η-test) second
-        # sweep was measured to trigger every iteration on preconditioned
-        # SEM systems, so both sweeps run unconditionally.
+        # per-iteration cost at SEM sizes.  The second sweep runs only when
+        # the first one cancelled most of ‖w‖ (n1 < η·n0, η = 1/√2 — the
+        # classical Daniel-Gragg-Kaufman-Stewart test): under a strong
+        # preconditioner successive Krylov vectors stay well separated and
+        # the skip saves half the basis traffic; under weak preconditioning
+        # it degrades gracefully to CGS2.
         hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
+        n0 = jnp.linalg.norm(w)
         w, h1 = mgs_pass(V, w, k, hi)
-        w, h2 = mgs_pass(V, w, k, hi)
-        h = h1 + h2
+        n1 = jnp.linalg.norm(w)
+
+        def _resweep(args):
+            w1, h1_ = args
+            w2, h2 = mgs_pass(V, w1, k, hi)
+            return w2, h1_ + h2
+
+        w, h = lax.cond(n1 < 0.7071 * n0, _resweep, lambda a: a, (w, h1))
         hk1 = jnp.linalg.norm(w)
         h = h.at[k + 1].set(hk1)
         V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))

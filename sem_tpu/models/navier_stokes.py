@@ -50,7 +50,52 @@ from sem_tpu.krylov import gmres, refined_gmres_host, KrylovInfo
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
-__all__ = ["NavierStokesSolver"]
+__all__ = ["NavierStokesSolver", "solve_ns_continued"]
+
+
+def solve_ns_continued(L_x, L_y, Re, Gr, P, N_ex, N_ey, T_func=None,
+                       levels: int = 2, **kwargs):
+    """p-continuation solve of a standalone NS problem.
+
+    Solves on a ladder of halved polynomial orders (floored at 2, element
+    counts fixed), prolonging (u, v, p) through the cross-mesh transfer and
+    warm-starting each level's Newton iteration.  Two wins over a direct
+    solve: (1) the fine level starts near the solution, so its Newton takes
+    1-2 steps, and (2) at convection-dominated parameters the warm-started
+    linear systems need far less residual reduction per solve, which keeps
+    the FDM-preconditioned Krylov inside its attainable range (a from-zero
+    Newton at e.g. the Re=400 lid cavity on fine grids can demand reductions
+    the Laplacian-preconditioned f32 solves cannot deliver).
+
+    The NS analog of :func:`sem_tpu.coupling.boussinesq.solve_continued`;
+    capability beyond the reference (which always solves from zero,
+    reference NavierStokes_Solver.py:290-303).
+
+    :param T_func: temperature field callable (None ⇒ zero buoyancy source)
+    :param levels: number of coarser levels below the target order
+    :param kwargs: forwarded to every level's :class:`NavierStokesSolver`
+    :return: (ns, u, v, p) — the finest-level solver and solution vectors
+    """
+    from sem_tpu.interp import apply_transfer
+
+    ladder = [max(2, P >> k) for k in range(levels, 0, -1)] + [P]
+    ladder = [p_ for i, p_ in enumerate(ladder)
+              if i == 0 or p_ != ladder[i - 1]]
+    uvp = None
+    prev = None
+    for P_level in ladder:
+        ns = NavierStokesSolver(L_x, L_y, Re=Re, Gr=Gr, P=P_level,
+                                N_ex=N_ex, N_ey=N_ey, **kwargs)
+        T = (jnp.zeros(ns.N, ns._dtype) if T_func is None
+             else jnp.asarray(ns._get_vector(T_func), ns._dtype))
+        if uvp is not None:
+            uvp = tuple(apply_transfer(prev.grid, ns.grid, f) for f in uvp)
+            u, v, p = ns._get_solution(T, u0=uvp[0], v0=uvp[1], p0=uvp[2])
+        else:
+            u, v, p = ns._get_solution(T)
+        uvp = (u, v, p)
+        prev = ns
+    return ns, u, v, p
 
 
 def _spectral_schur_data(grid: Grid2D):
