@@ -92,7 +92,7 @@ def build_coupled(L_x: float, L_y: float,
                   mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
                   mtol_gmres=1e-10, restart=20,
                   mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
-                  device_krylov=None):
+                  device_krylov=None, forcing=1e-3):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -115,7 +115,7 @@ def build_coupled(L_x: float, L_y: float,
                         AGi=AGi, AGr=AGr, AGc=AGc,
                         mtol_gmres=mtol_gmres, restart=restart,
                         mtol_precon=mtol_precon, iprint=iprint,
-                        device_krylov=device_krylov)
+                        device_krylov=device_krylov, forcing=forcing)
     return cd, ns, mda
 
 

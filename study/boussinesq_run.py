@@ -51,7 +51,9 @@ def run(log=False, save=True,
         mode="JNK", backend="single",
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
-        mtol_internal=1e-13):
+        mtol_internal=1e-13, forcing=None):
+    # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
+    # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
     from sem_tpu.coupling import build_coupled
     from sem_tpu.parallel.sharding import make_mesh, use_mesh
@@ -85,7 +87,7 @@ def run(log=False, save=True,
                 mode=mode, mtol_nonlin=mtol_nonlin,
                 AGi=AGi, AGr=AGr, AGc=AGc,
                 mtol_gmres=mtol_gmres, restart=restart,
-                mtol_internal=mtol_internal)
+                mtol_internal=mtol_internal, forcing=forcing)
             state = mda.solve()
     finally:
         if log:

@@ -57,6 +57,22 @@ def test_mda_modes_agree(mode, gs_reference):
     np.testing.assert_allclose(v, v0, atol=1e-8)
 
 
+def test_jnk_forcing_matches_reference_tolerance_path(gs_reference):
+    """JNK with inexact-Newton forcing (default) and with the reference's
+    fixed-tolerance coupled GMRES (forcing=None) converge to the same
+    solution; forcing never does more total coupled GMRES work."""
+    T0, u0, v0 = gs_reference
+    gmres_its = {}
+    for forcing in (1e-3, None):
+        cd, ns, mda = build_coupled(1.0, 1.0, mode="JNK", forcing=forcing,
+                                    **QUICK)
+        s = mda.solve()
+        gmres_its[forcing] = mda.stats.gmres_iters
+        T = cd._get_interpol(s.T, PLOT21)
+        np.testing.assert_allclose(T, T0, atol=1e-7)
+    assert gmres_its[1e-3] <= gmres_its[None]
+
+
 def test_jnk_device_matches_host_krylov(gs_reference):
     """The on-device coupled FGMRES (one dispatch per window, inner block
     solves included) reproduces the host-orchestrated NumPy FGMRES."""
