@@ -30,7 +30,8 @@ from sem_tpu.coupling.mda import BoussinesqMDA, CoupledState
 from sem_tpu.models.convection_diffusion import ConvectionDiffusionSolver
 from sem_tpu.models.navier_stokes import NavierStokesSolver
 
-__all__ = ["run", "run_parallel", "build_coupled", "solve_continued"]
+__all__ = ["run", "run_parallel", "build_coupled", "solve_continued",
+           "solve_ra_continued"]
 
 
 def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
@@ -81,6 +82,36 @@ def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
             print(f"Boussinesq continuation level P_cd={Pc} P_ns={Pn}")
         state = mda.solve(state)
         prev = (cd, ns)
+    return cd, ns, mda, state
+
+
+def solve_ra_continued(L_x, L_y, Ra, decades: int = 2, **kwargs):
+    """Ra-continuation solve of the coupled Boussinesq problem.
+
+    At high Rayleigh number the from-zero solve fails: the iteration-0
+    subsystem sweep asks the NS discipline for a full nonlinear solve under
+    the entire buoyancy forcing at once, which is convection-dominated
+    beyond what the FDM(Laplacian)-preconditioned Krylov can handle.
+    Classical parameter continuation fixes this: solve at Ra/10^decades,
+    then re-solve at each decade warm-started by the previous solution
+    (each level's MDA skips or warm-starts its subsystem sweep, and every
+    Newton linear system stays in the mildly-nonlinear regime).
+
+    :param Ra: target Rayleigh number
+    :param decades: number of decades to climb (levels below Ra, floored so
+        the coarsest level is ≥ 1e3)
+    :param kwargs: forwarded to :func:`build_coupled`
+    :return: (cd, ns, mda, state) at the target Ra
+    """
+    ladder = [Ra / 10 ** k for k in range(decades, 0, -1)
+              if Ra / 10 ** k >= 1e3] + [Ra]
+    iprint = kwargs.get("iprint", True)
+    state = None
+    for Ra_k in ladder:
+        if iprint:
+            print(f"Boussinesq Ra-continuation level Ra={Ra_k:.1e}")
+        cd, ns, mda = build_coupled(L_x, L_y, Ra=Ra_k, **kwargs)
+        state = mda.solve(state)
     return cd, ns, mda, state
 
 

@@ -51,7 +51,7 @@ def run(log=False, save=True,
         mode="JNK", backend="single",
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
-        mtol_internal=1e-13, forcing=None):
+        mtol_internal=1e-13, forcing=None, racont=False):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -79,16 +79,22 @@ def run(log=False, save=True,
                else contextlib.nullcontext())
         with ctx:
             # CD at half the NS element count (reference study :50-51)
-            cd, ns, mda = build_coupled(
-                L_x, L_y, Re=Re, Ra=Ra, Pr=Pr,
-                P_cd=P, N_ex_cd=max(1, int(N_e / 2)),
-                N_ey_cd=max(1, int(N_e / 2)),
-                P_ns=P, N_ex_ns=N_e, N_ey_ns=N_e,
-                mode=mode, mtol_nonlin=mtol_nonlin,
-                AGi=AGi, AGr=AGr, AGc=AGc,
-                mtol_gmres=mtol_gmres, restart=restart,
-                mtol_internal=mtol_internal, forcing=forcing)
-            state = mda.solve()
+            kw = dict(Re=Re, Pr=Pr,
+                      P_cd=P, N_ex_cd=max(1, int(N_e / 2)),
+                      N_ey_cd=max(1, int(N_e / 2)),
+                      P_ns=P, N_ex_ns=N_e, N_ey_ns=N_e,
+                      mode=mode, mtol_nonlin=mtol_nonlin,
+                      AGi=AGi, AGr=AGr, AGc=AGc,
+                      mtol_gmres=mtol_gmres, restart=restart,
+                      mtol_internal=mtol_internal, forcing=forcing)
+            if racont:
+                # Ra continuation for high-Ra configs (from-zero solves
+                # fail there); recorded stats are the target level's
+                from sem_tpu.coupling.boussinesq import solve_ra_continued
+                cd, ns, mda, state = solve_ra_continued(L_x, L_y, Ra, **kw)
+            else:
+                cd, ns, mda = build_coupled(L_x, L_y, Ra=Ra, **kw)
+                state = mda.solve()
     finally:
         if log:
             sys.stdout = sys.__stdout__
@@ -115,6 +121,7 @@ if __name__ == "__main__":
     save = True
     log = False
     mode = "JNK"
+    racont = False
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -139,10 +146,13 @@ if __name__ == "__main__":
             save = args[i + 1].lower() in ("true", "1", "yes")
         if arg == "-backend":
             backend = args[i + 1]
+        if arg == "-racont":
+            racont = args[i + 1].lower() in ("true", "1", "yes")
 
     for Re in Re_set:
         for Ra in Ra_set:
             for P in P_set:
                 for Ne in Ne_set:
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
-                        P=int(P), N_e=int(Ne), backend=backend)
+                        P=int(P), N_e=int(Ne), backend=backend,
+                        racont=racont)

@@ -127,6 +127,25 @@ def test_solve_continued_matches_direct():
 
 
 @pytest.mark.slow
+def test_solve_ra_continued_high_ra():
+    """Ra continuation reaches a high-Ra solution (from-zero solves fail
+    beyond Ra~1e4: the iteration-0 subsystem sweep's NS solve is
+    convection-dominated past what the FDM-preconditioned Krylov handles)."""
+    from sem_tpu.coupling.boussinesq import solve_ra_continued
+
+    cd, ns, mda, s = solve_ra_continued(1.0, 1.0, Ra=1e4, decades=1,
+                                        Re=1e3, Pr=0.71,
+                                        P_cd=3, N_ex_cd=2, N_ey_cd=2,
+                                        P_ns=3, N_ex_ns=4, N_ey_ns=4,
+                                        mode="JNK", iprint=False)
+    # converged to the MDA tolerance at the target Ra
+    r = mda._residuals(s)
+    assert np.linalg.norm(r) <= mda.atol_nonlin
+    # buoyancy-driven flow much stronger than at Ra=1e3
+    assert float(np.max(np.abs(np.asarray(s.u)))) * 1e3 * 0.71 > 8.0
+
+
+@pytest.mark.slow
 def test_de_vahl_davis_benchmark():
     """Full reference configuration: Ra=1e3, P=4, 8×8, JNK (reference
     Examples/Boussinesq_Sequential_Example.py), validated against the
