@@ -762,11 +762,10 @@ class NavierStokesSolver:
                 f"NavierStokes Schur GMRES: failed to converge in "
                 f"{int(schur_info.iterations)} iterations (resnorm "
                 f"{float(schur_info.resnorm):.3e})")
-        if (not bool(schur_info.converged) and "LGMRES_suc" in self._iprint):
-            print(f"NavierStokes linear solve: stalled at resnorm "
-                  f"{float(schur_info.resnorm):.3e} (roundoff plateau)")
         if "LGMRES_suc" in self._iprint:
-            print(f"NavierStokes Schur GMRES: converged in "
+            status = ("converged" if bool(schur_info.converged)
+                      else "stalled (roundoff plateau)")
+            print(f"NavierStokes Schur GMRES: {status} in "
                   f"{int(schur_info.iterations)} iterations with resnorm "
                   f"{float(schur_info.resnorm):.3e}")
         if "VELO_suc" in self._iprint or "LU_suc" in self._iprint:
