@@ -85,7 +85,7 @@ def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
     return cd, ns, mda, state
 
 
-def solve_ra_continued(L_x, L_y, Ra, decades: int = 2, **kwargs):
+def solve_ra_continued(L_x, L_y, Ra, decades: int = None, **kwargs):
     """Ra-continuation solve of the coupled Boussinesq problem.
 
     At high Rayleigh number the from-zero solve fails: the iteration-0
@@ -98,13 +98,24 @@ def solve_ra_continued(L_x, L_y, Ra, decades: int = 2, **kwargs):
     Newton linear system stays in the mildly-nonlinear regime).
 
     :param Ra: target Rayleigh number
-    :param decades: number of decades to climb (levels below Ra, floored so
-        the coarsest level is ≥ 1e3)
+    :param decades: ``None`` (default) — automatic ladder from Ra=1e3 with
+        decade steps up to 1e4 and √10 (half-decade) steps above, where the
+        flow strengthens fast enough that full decades leave the NS
+        subsolves too far from their warm starts (measured: Ra=1e4→1e5 in
+        one step stalls the sweep's NS Newton ~10× from target);
+        an int gives the legacy fixed-decade ladder
     :param kwargs: forwarded to :func:`build_coupled`
     :return: (cd, ns, mda, state) at the target Ra
     """
-    ladder = [Ra / 10 ** k for k in range(decades, 0, -1)
-              if Ra / 10 ** k >= 1e3] + [Ra]
+    if decades is None:
+        ladder = [Ra]
+        while ladder[0] > 1.5e3:
+            prev = ladder[0]
+            step = 10.0 ** 0.5 if prev > 1.00001e4 else 10.0
+            ladder.insert(0, max(1e3, prev / step))
+    else:
+        ladder = [Ra / 10 ** k for k in range(decades, 0, -1)
+                  if Ra / 10 ** k >= 1e3] + [Ra]
     iprint = kwargs.get("iprint", True)
     state = None
     for Ra_k in ladder:
@@ -123,7 +134,7 @@ def build_coupled(L_x: float, L_y: float,
                   mtol_nonlin=1e-9, AGi=8, AGr=0.8, AGc=0.2,
                   mtol_gmres=1e-10, restart=20,
                   mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
-                  device_krylov=None, forcing=1e-3):
+                  device_krylov=None, forcing=1e-3, mtol_subsolve=1e-6):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -146,7 +157,8 @@ def build_coupled(L_x: float, L_y: float,
                         AGi=AGi, AGr=AGr, AGc=AGc,
                         mtol_gmres=mtol_gmres, restart=restart,
                         mtol_precon=mtol_precon, iprint=iprint,
-                        device_krylov=device_krylov, forcing=forcing)
+                        device_krylov=device_krylov, forcing=forcing,
+                        mtol_subsolve=mtol_subsolve)
     return cd, ns, mda
 
 
