@@ -789,6 +789,8 @@ class NavierStokesSolver:
 
         atol = (self._mtol_newton if mtol is None else mtol)             * np.sqrt(self.N * 3)
         self._k = 0
+        stag = 0
+        best = float("inf")
         while True:
             ru, rv, rc = self._get_residuals(u, v, p, T)
             norm = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
@@ -802,10 +804,16 @@ class NavierStokesSolver:
                     print(f"NavierStokes NEWTON: Converged in {self._k} "
                           f"iterations with max-norm {mx}")
                 break
-            if self._k >= self._max_newton:
+            # fail fast on stagnation: when the (stall-accepted) linear
+            # solves stop producing useful updates, the residual freezes —
+            # raising after 8 flat iterations beats burning max_newton
+            stag = stag + 1 if norm > 0.999 * best else 0
+            best = min(best, norm)
+            if stag >= 8 or self._k >= self._max_newton:
                 raise RuntimeError(
                     f"NavierStokes NEWTON: no convergence in {self._k} "
-                    f"iterations (residual {norm:.3e}, target {atol:.3e})")
+                    f"iterations (residual {norm:.3e}, target {atol:.3e}"
+                    + (", stagnated" if stag >= 8 else "") + ")")
             self._calc_jacobians(u, v)
             mtol_k = mtol
             if self._forcing is not None:
