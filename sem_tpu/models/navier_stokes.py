@@ -738,6 +738,33 @@ class NavierStokesSolver:
         if self._linear_solver == "coupled" and self._mixed_precision:
             du, dv, dp, schur_info, velo_info = self._update_coupled_mixed(
                 dres_u, dres_v, dres_cont, dp0, mtol_f)
+            if not bool(schur_info.converged):
+                # The mixed path plateaued.  A plateau *near* the tolerance
+                # is the f32/roundoff floor — accept it (outer Newton checks
+                # are authoritative).  A plateau far above it means the f32
+                # chunks cannot deliver the needed reduction at this
+                # conditioning (strongly convection-dominated velocity
+                # blocks) — retry with the single-level f64 solve, which
+                # handles the same systems at f64 depth (measured: the
+                # Re=400 P=8 lid-cavity tangent systems converge in ~190
+                # f64 iterations while every f32 chunk stalls).
+                eps = float(np.finfo(np.dtype(self._dtype)).eps)
+                nb = float(np.sqrt(float(jnp.vdot(dres_u, dres_u))
+                                   + float(jnp.vdot(dres_v, dres_v))
+                                   + float(jnp.vdot(dres_cont, dres_cont))))
+                atol_eff = max(mtol_f * np.sqrt(3 * self.N),
+                               max(mtol_f, 50 * eps) * nb)
+                if float(schur_info.resnorm) > 100 * atol_eff:
+                    mtol_s = jnp.asarray(mtol_f, self._dtype)
+                    du, dv, dp, schur_info, velo_info, _ = self._update_jit(
+                        place(dres_u, self._dtype),
+                        place(dres_v, self._dtype),
+                        place(dres_cont, self._dtype),
+                        self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
+                    if "LGMRES_suc" in self._iprint:
+                        print("NavierStokes linear solve: mixed-precision "
+                              "path floored far above tolerance; retried "
+                              "in f64")
         else:
             mtol_s = jnp.asarray(mtol_f, self._dtype)
             du, dv, dp, schur_info, velo_info, hist = self._update_jit(
