@@ -205,7 +205,13 @@ class BoussinesqMDA:
         self.forcing = None if forcing is None else float(forcing)
         self.iprint = iprint
         if device_krylov is None:
-            device_krylov = self.DOF <= 1_000_000
+            # the device path wins on dispatch latency for small problems;
+            # for larger/harder systems one fused window (outer iterations x
+            # full discipline solves) can exceed accelerator-runtime
+            # watchdogs (observed: "TPU worker crashed" at P=8 32x32,
+            # Ra=3e4) - the host path's per-callback dispatches are
+            # naturally bounded by the disciplines' own chunking
+            device_krylov = self.DOF <= 150_000
         self.device_krylov = bool(device_krylov)
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
         self.stats = MDAStats()
@@ -280,7 +286,11 @@ class BoussinesqMDA:
                        else self.mtol_precon)
         mtol_pre_ns = (ns_s._mtol if self.mtol_precon is None
                        else self.mtol_precon)
-        window = max(2 * self.restart, 40)
+        # outer iterations per fused dispatch: each contains a full CD + NS
+        # preconditioner solve (nested Krylov included), so the window is
+        # kept small to bound single-dispatch runtime under accelerator
+        # watchdogs; windows are warm-started so convergence is unaffected
+        window = min(self.restart, 10)
 
         def unpack(z):
             return (z[:Ncd], z[Ncd:Ncd + Nns],
