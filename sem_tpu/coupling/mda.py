@@ -205,13 +205,12 @@ class BoussinesqMDA:
         self.forcing = None if forcing is None else float(forcing)
         self.iprint = iprint
         if device_krylov is None:
-            # the device path wins on dispatch latency for small problems;
-            # for larger/harder systems one fused window (outer iterations x
-            # full discipline solves) can exceed accelerator-runtime
-            # watchdogs (observed: "TPU worker crashed" at P=8 32x32,
-            # Ra=3e4) - the host path's per-callback dispatches are
-            # naturally bounded by the disciplines' own chunking
-            device_krylov = self.DOF <= 150_000
+            # one fused window (outer iterations x full discipline solves)
+            # exceeded the accelerator watchdog at P=8 32x32 Ra=3e4 before
+            # the window was bounded to 10 outer iterations; with bounded
+            # dispatches the device path is safe and much faster than the
+            # host path (whose every callback crosses the tunnel)
+            device_krylov = self.DOF <= 1_000_000
         self.device_krylov = bool(device_krylov)
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
         self.stats = MDAStats()
