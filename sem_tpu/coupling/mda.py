@@ -37,7 +37,6 @@ mtol·√DOF with DOF = 3·N_ns + N_cd (reference :61-63).
 from __future__ import annotations
 
 import dataclasses
-import typing
 
 import numpy as np
 import jax.numpy as jnp

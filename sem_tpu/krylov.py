@@ -22,7 +22,6 @@ Design notes:
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -41,12 +41,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from jax import lax
-
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres, refined_gmres_host, KrylovInfo
+from sem_tpu.krylov import gmres, refined_gmres_host
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
