@@ -107,3 +107,38 @@ def test_sharded_hlo_contains_collectives():
         hlo_dot = g.lower(
             jax.ShapeDtypeStruct((N,), jnp.float64)).compile().as_text()
     assert "all-reduce" in hlo_dot, "sharded dot product lost its psum"
+
+
+def test_place_normalizes_program_boundary_layouts():
+    """place() gives every 1-D array a canonical layout under a mesh:
+    row-strip for divisible lengths, explicit replication otherwise.
+
+    Regression guard for a round-2 bug class: jitted-kernel outputs carry
+    GSPMD auto-chosen layouts (e.g. ``[4,2] last_tile_dim_replicate``
+    leaking out of the residual program), and feeding such arrays into the
+    compiled Krylov programs produced numerically WRONG solves with
+    bit-identical input values — an f64 right-preconditioned GMRES residual
+    grew above ‖b‖.  Normalizing at every program boundary removes the
+    class; this test pins the normalization behavior.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    with use_mesh(mesh):
+        # odd length (every SEM global vector): must come out REPLICATED
+        odd = place(np.arange(1025.0))
+        assert odd.sharding.is_fully_replicated
+        # a leaked auto-sharding on an odd-length array is normalized too
+        leaked = jax.device_put(
+            jnp.arange(1025.0),
+            NamedSharding(mesh, P()))  # start replicated, then re-place
+        assert place(leaked).sharding.is_fully_replicated
+        # divisible length: row-strip sharding over the mesh axis
+        div = place(np.arange(float(8 * n_dev)))
+        spec = div.sharding.spec
+        assert tuple(spec) == (mesh.axis_names[0],)
+    # no mesh: plain arrays
+    plain = place(np.arange(7.0))
+    assert not hasattr(plain.sharding, "spec") or \
+        plain.sharding.is_fully_replicated
