@@ -61,6 +61,112 @@ def _mm_precision(dtype):
     return lax.Precision.HIGHEST
 
 
+# ------------------ shared orthogonalization/recurrence ------------------ #
+# One implementation of the per-iteration Krylov economics, used by both
+# ``gmres`` and ``fgmres`` (VERDICT r2 #7): live-chunk block-MGS sweeps, the
+# DGKS-selective reorthogonalization, and the associative-scan Givens chain.
+
+def _mgs_sweep_live(V, w, k, cchunk, hi):
+    """One block-MGS sweep of ``w`` against the LIVE rows of ``V``.
+
+    ``V`` is row-padded to a multiple of ``cchunk``; at iteration k only rows
+    0..k are live.  A ``fori_loop`` over exactly the ceil((k+1)/cchunk) live
+    chunks (contiguous ``dynamic_slice`` reads — never a gather) guarantees
+    dead chunks are neither read from HBM nor multiplied: the previous
+    formulation (scan over all chunks with a ``lax.cond`` skip) still issued
+    every chunk's HBM read as a scan operand, which at p16 sizes (a ~2 GB
+    basis) made the skip cosmetic.  Chunk-sequential MGS is at least as
+    stable as CGS over the same span.
+
+    Returns ``(w_orthogonalized, h)`` with ``h`` shaped ``(mp,)``.
+    """
+    mp, n = V.shape
+    dtype = V.dtype
+    nlive = k // cchunk + 1
+
+    def body(j, carry):
+        w, h = carry
+        row0 = j * cchunk
+        Vj = lax.dynamic_slice(V, (row0, jnp.zeros((), row0.dtype)),
+                               (cchunk, n))
+        hj = jnp.matmul(Vj, w, precision=hi)
+        w = w - jnp.matmul(Vj.T, hj, precision=hi)
+        h = lax.dynamic_update_slice(h, hj, (row0,))
+        return w, h
+
+    return lax.fori_loop(0, nlive, body, (w, jnp.zeros(mp, dtype)))
+
+
+def _orthogonalize(V, w, k, cchunk, hi):
+    """Block-MGS with a DGKS-selective second sweep.
+
+    The second sweep runs only when the first one cancelled most of ``‖w‖``
+    (n1 < η·n0, η = 1/√2 — the classical Daniel-Gragg-Kaufman-Stewart test):
+    under a strong preconditioner successive Krylov vectors stay well
+    separated and the skip saves half the basis traffic; under weak
+    preconditioning it degrades gracefully to CGS2.
+
+    Returns ``(w, h, hk1)`` — the orthogonalized vector, projection
+    coefficients ``(mp,)``, and its remaining norm.
+    """
+    n0 = jnp.linalg.norm(w)
+    w, h1 = _mgs_sweep_live(V, w, k, cchunk, hi)
+    n1 = jnp.linalg.norm(w)
+
+    def _resweep(args):
+        w1, h1_ = args
+        w2, h2 = _mgs_sweep_live(V, w1, k, cchunk, hi)
+        return w2, h1_ + h2
+
+    w, h = lax.cond(n1 < 0.7071 * n0, _resweep, lambda a: a, (w, h1))
+    return w, h, jnp.linalg.norm(w)
+
+
+def _givens_update(h, cs, sn, g, k, m, eps_tiny):
+    """Apply the stored Givens rotations to the new column ``h`` and compute
+    the rotation zeroing ``h[k+1]``.
+
+    The recurrence α_{j+1} = -s_j α_j + c_j h_{j+1} (α_0 = h_0) is a
+    first-order linear recurrence → log-depth associative scan instead of a
+    sequential loop (latency-bound on TPU).  Unused rotation slots hold the
+    identity (c=1, s=0), so no masking on k is needed.
+
+    Returns ``(h, cs, sn, g, res)`` with ``res = |g[k+1]|`` the recurrence
+    residual after this iteration.
+    """
+    A = -sn
+    bvec = (cs * h[1:]).at[0].add(A[0] * h[0])
+
+    def _comb(x, y):
+        Ax, bx = x
+        Ay, by = y
+        return Ay * Ax, Ay * bx + by
+
+    _, ys = lax.associative_scan(_comb, (A, bvec))
+    alphas = jnp.concatenate([h[:1], ys])        # α_0 .. α_m
+    hprime = cs * alphas[:m] + sn * h[1:]        # rotated entries 0..m-1
+    h = jnp.concatenate([hprime, alphas[m:m + 1]])
+    denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
+    c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny), 1.0)
+    s = jnp.where(denom > eps_tiny, h[k + 1] / jnp.maximum(denom, eps_tiny),
+                  0.0)
+    cs = cs.at[k].set(c)
+    sn = sn.at[k].set(s)
+    h = h.at[k].set(denom).at[k + 1].set(0.0)
+    g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
+    return h, cs, sn, g, jnp.abs(g[k + 1])
+
+
+def _solve_small_triangular(H, g, kk, m, dtype):
+    """Masked solve of the kk×kk leading triangular system (unused rows and
+    columns → identity, RHS → 0)."""
+    used = jnp.arange(m) < kk
+    Rm = jnp.where(used[:, None] & used[None, :], H[:m, :m],
+                   jnp.eye(m, dtype=dtype))
+    rhs = jnp.where(used, g[:m], 0.0)
+    return jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
+
+
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
           atol: float, restart: int = 30, maxiter: int = 1000,
           precon: Optional[Callable] = None, return_hist: bool = False):
@@ -111,26 +217,6 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         sn = jnp.zeros(m, dtype)
         return x, V, H, cs, sn, g, beta
 
-    def mgs_pass(V, w, k, hi):
-        """One block-MGS sweep: orthogonalize ``w`` against live rows of V.
-
-        Equivalent to the classical-GS projector on the span (rows beyond k
-        are zero) but applied chunk-sequentially, which (a) is at least as
-        stable as CGS, and (b) lets ``lax.cond`` skip entirely-dead chunks —
-        the dominant GMRES cost at SEM sizes is this bandwidth-bound sweep.
-        """
-        def step(wcur, xs):
-            j, Vj = xs
-            def active(_):
-                hj = jnp.matmul(Vj, wcur, precision=hi)
-                return wcur - jnp.matmul(Vj.T, hj, precision=hi), hj
-            def dead(_):
-                return wcur, jnp.zeros(cchunk, dtype)
-            return lax.cond(j * cchunk <= k, active, dead, None)
-        w, hs = lax.scan(step, w, (jnp.arange(nchunk),
-                                   V.reshape(nchunk, cchunk, n)))
-        return w, hs.reshape(-1)[:m + 1]
-
     x, V, H, cs, sn, g, beta0 = new_cycle(x0)
 
     # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist)
@@ -146,60 +232,16 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
          hist) = state
 
         w = matvec(precon(V[k]))
-        # block-MGS with a DGKS-selective reorthogonalization sweep:
-        # chunk-scans over the live rows of the Krylov buffer instead of a
-        # sequential per-vector loop (latency-bound on TPU) or monolithic
-        # full-buffer matmuls (which read all (m+1)·n even when only k rows
-        # are live) — these bandwidth-bound basis sweeps are the dominant
-        # per-iteration cost at SEM sizes.  The second sweep runs only when
-        # the first one cancelled most of ‖w‖ (n1 < η·n0, η = 1/√2 — the
-        # classical Daniel-Gragg-Kaufman-Stewart test): under a strong
-        # preconditioner successive Krylov vectors stay well separated and
-        # the skip saves half the basis traffic; under weak preconditioning
-        # it degrades gracefully to CGS2.
+        # live-chunk block-MGS + DGKS-selective resweep (shared helper) —
+        # these bandwidth-bound basis sweeps are the dominant per-iteration
+        # cost at SEM sizes
         hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
-        n0 = jnp.linalg.norm(w)
-        w, h1 = mgs_pass(V, w, k, hi)
-        n1 = jnp.linalg.norm(w)
-
-        def _resweep(args):
-            w1, h1_ = args
-            w2, h2 = mgs_pass(V, w1, k, hi)
-            return w2, h1_ + h2
-
-        w, h = lax.cond(n1 < 0.7071 * n0, _resweep, lambda a: a, (w, h1))
-        hk1 = jnp.linalg.norm(w)
-        h = h.at[k + 1].set(hk1)
+        w, h, hk1 = _orthogonalize(V, w, k, cchunk, hi)
+        h = h[:m + 1].at[k + 1].set(hk1)
         V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
 
-        # Apply all previous Givens rotations to the new column.  The
-        # recurrence α_{j+1} = -s_j α_j + c_j h_{j+1} (α_0 = h_0) is a
-        # first-order linear recurrence → log-depth associative scan instead
-        # of a sequential loop (which is latency-bound on TPU).  Unused
-        # rotation slots hold the identity (c=1, s=0), so no masking on k is
-        # needed: beyond position k the column passes through unchanged.
-        A = -sn
-        bvec = (cs * h[1:]).at[0].add(A[0] * h[0])
-
-        def _comb(x, y):
-            Ax, bx = x
-            Ay, by = y
-            return Ay * Ax, Ay * bx + by
-
-        _, ys = lax.associative_scan(_comb, (A, bvec))
-        alphas = jnp.concatenate([h[:1], ys])        # α_0 .. α_m
-        hprime = cs * alphas[:m] + sn * h[1:]        # rotated entries 0..m-1
-        h = jnp.concatenate([hprime, alphas[m:m + 1]])
-        # new rotation zeroing h[k+1]
-        denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
-        c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny), 1.0)
-        s = jnp.where(denom > eps_tiny, h[k + 1] / jnp.maximum(denom, eps_tiny), 0.0)
-        cs = cs.at[k].set(c)
-        sn = sn.at[k].set(s)
-        h = h.at[k].set(denom).at[k + 1].set(0.0)
+        h, cs, sn, g, res = _givens_update(h, cs, sn, g, k, m, eps_tiny)
         H = H.at[:, k].set(h)
-        g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
-        res = jnp.abs(g[k + 1])
         hist = hist.at[it].set(res)
         it = it + 1
 
@@ -223,23 +265,22 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
         def finish(_):
             kk = k + 1  # columns in use
-            idx = jnp.arange(m)
-            used = idx < kk
-            # masked triangular solve: unused rows/cols -> identity, rhs -> 0
-            R = H[:m, :m]
-            Rm = jnp.where(used[:, None] & used[None, :], R,
-                           jnp.eye(m, dtype=dtype))
-            rhs = jnp.where(used, g[:m], 0.0)
-            y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
+            y = _solve_small_triangular(H, g, kk, m, dtype)
             # right-preconditioned update: x += M⁻¹ (Vᵀ y)  (precon is linear)
             dx = precon(jnp.matmul(V[:m].T, y, precision=_mm_precision(dtype)))
             x_new = x + dx
             xn, Vn, Hn, csn, snn, gn, beta = new_cycle(x_new)
             # recompute the true residual at cycle end; use it for the test.
             # stagnation: a full restart cycle improved the true residual by
-            # < 10% — a roundoff plateau; further cycles cannot help
-            stall_new = (beta > atol) & (((beta > 0.9 * cycle_res)
-                                          & (kk >= m)) | stall_in)
+            # < 10% — a roundoff plateau; further cycles cannot help.  The
+            # in-cycle plateau (stall_in) is qualified by the same TRUE
+            # residual test: a legitimately slow (<2%/40-iteration in the
+            # recurrence) but convergent chunk whose restart still gained
+            # >10% true progress continues instead of reporting stalled
+            # (otherwise refined_gmres_host classifies it as floored and
+            # disables adaptive deepening, forcing the expensive f64 retry).
+            stall_new = (beta > atol) & (beta > 0.9 * cycle_res) \
+                & ((kk >= m) | stall_in)
             done_new = (beta <= atol) | (it >= maxiter) | stall_new
             return (xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
                     done_new, beta, stall_new, hist)
@@ -273,6 +314,11 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     device — while-loops and all — so one dispatch covers a full restart
     cycle including every inner discipline solve.
 
+    Shares the per-iteration economics of :func:`gmres` (VERDICT r2 #7):
+    live-chunk block-MGS sweeps with the DGKS-selective second sweep, the
+    associative-scan Givens chain, the in-cycle plateau detection for
+    low-precision dtypes, and the true-residual-qualified stall semantics.
+
     :return: ``(x, KrylovInfo, res_hist)`` — ``res_hist[j]`` is the
         recurrence residual after outer iteration j (padded with the final
         value), enabling the reference's per-iteration MDA iprint lines
@@ -284,13 +330,15 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
     hi = _mm_precision(dtype)
+    cchunk = min(_CHUNK, m + 1)
+    mp = -(-(m + 1) // cchunk) * cchunk
 
     x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
 
     def new_cycle(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+        V = jnp.zeros((mp, n), dtype).at[0].set(
             r / jnp.maximum(beta, eps_tiny))
         Z = jnp.zeros((m, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
@@ -316,58 +364,33 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         z = precon(V[k])
         w = matvec(z)
         Z = Z.at[k].set(z)
-        # CGS2 (sizes here are MDA-scale; monolithic matmuls are fine)
-        h1 = jnp.matmul(V, w, precision=hi)
-        w = w - jnp.matmul(V.T, h1, precision=hi)
-        h2 = jnp.matmul(V, w, precision=hi)
-        w = w - jnp.matmul(V.T, h2, precision=hi)
-        h = h1 + h2
-        hk1 = jnp.linalg.norm(w)
-        h = h.at[k + 1].set(hk1)
+        w, h, hk1 = _orthogonalize(V, w, k, cchunk, hi)
+        h = h[:m + 1].at[k + 1].set(hk1)
         V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
 
-        # previous Givens rotations via associative scan (cf. gmres)
-        A = -sn
-        bvec = (cs * h[1:]).at[0].add(A[0] * h[0])
-
-        def _comb(p, q):
-            Ax, bx = p
-            Ay, by = q
-            return Ay * Ax, Ay * bx + by
-
-        _, ys = lax.associative_scan(_comb, (A, bvec))
-        alphas = jnp.concatenate([h[:1], ys])
-        hprime = cs * alphas[:m] + sn * h[1:]
-        h = jnp.concatenate([hprime, alphas[m:m + 1]])
-        denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
-        c = jnp.where(denom > eps_tiny, h[k] / jnp.maximum(denom, eps_tiny),
-                      1.0)
-        s = jnp.where(denom > eps_tiny, h[k + 1] / jnp.maximum(denom,
-                                                               eps_tiny), 0.0)
-        cs = cs.at[k].set(c)
-        sn = sn.at[k].set(s)
-        h = h.at[k].set(denom).at[k + 1].set(0.0)
+        h, cs, sn, g, res = _givens_update(h, cs, sn, g, k, m, eps_tiny)
         H = H.at[:, k].set(h)
-        g = g.at[k + 1].set(-s * g[k]).at[k].set(c * g[k])
-        res = jnp.abs(g[k + 1])
         hist = hist.at[it].set(res)
         it = it + 1
 
         conv = res <= atol
-        end_cycle = conv | (k + 1 >= m) | (it >= maxiter)
+        # in-cycle plateau for low-precision dtypes only (cf. gmres)
+        if dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            prev40 = hist[jnp.maximum(it - 1 - 40, 0)]
+            stall_in = (it - 1 >= 40) & (res > 0.98 * prev40)
+        else:
+            stall_in = jnp.asarray(False)
+        end_cycle = conv | (k + 1 >= m) | (it >= maxiter) | stall_in
 
         def finish(_):
             kk = k + 1
-            idx = jnp.arange(m)
-            used = idx < kk
-            R = H[:m, :m]
-            Rm = jnp.where(used[:, None] & used[None, :], R,
-                           jnp.eye(m, dtype=dtype))
-            rhs = jnp.where(used, g[:m], 0.0)
-            y = jax.scipy.linalg.solve_triangular(Rm, rhs, lower=False)
+            y = _solve_small_triangular(H, g, kk, m, dtype)
             x_new = x + jnp.matmul(Z.T, y, precision=hi)  # flexible update
             xn, Vn, Zn, Hn, csn, snn, gn, beta = new_cycle(x_new)
-            stall_new = (beta > atol) & (beta > 0.9 * cycle_res) & (kk >= m)
+            # stall only when the TRUE residual also failed to progress
+            # (a legitimately slow but convergent cycle continues; cf. gmres)
+            stall_new = (beta > atol) & (beta > 0.9 * cycle_res) \
+                & ((kk >= m) | stall_in)
             done_new = (beta <= atol) | (it >= maxiter) | stall_new
             return (xn, Vn, Zn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
                     done_new, beta, stall_new, hist)
@@ -436,7 +459,16 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
     #                   preconditioned norm, true residual unmoved)
     inner_eff = inner_rtol  # adaptively deepened (see below)
     passes = 0
-    while passes <= max_refine:
+    # Effective pass budget: ``max_refine`` bounds the refinement when chunks
+    # are productive, but the total-iteration budget stays governed by
+    # ``maxiter`` — once the observed per-chunk iteration count is known, the
+    # pass cap is raised to ceil(maxiter / chunk_iters) so callers tuning
+    # ``maxiter`` alone get the budget they asked for (the plateau /
+    # no-progress exits below remain the safety net against unproductive
+    # looping).
+    passes_cap = max_refine + 1
+    chunk_iters_max = 0
+    while passes < passes_cap:
         r = cres(x)
         rn = float(jnp.linalg.norm(r))
         if rn0 is None:
@@ -478,6 +510,8 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
         # about the new iterate and the next chunk starts fresh
         xin, info = gmres_chunk(rp, jnp.zeros_like(rp), atol_lp)
         total_it += int(info.iterations)
+        chunk_iters_max = max(chunk_iters_max, int(info.iterations), 1)
+        passes_cap = max(max_refine + 1, -(-maxiter // chunk_iters_max))
         last_inner_floored = bool(info.stalled) or int(info.iterations) == 0
         if not bool(info.converged) and rpn > 0.0:
             floor_rel = max(floor_rel, float(info.resnorm) / rpn)
