@@ -53,8 +53,8 @@ class ConvectionDiffusionComponent:
     def apply_nonlinear(self, T_cd, u_ns, v_ns):
         return self.cd._get_residuals(T_cd, *self.change_inputs(u_ns, v_ns))
 
-    def linearize(self, T_cd):
-        self.cd._calc_jacobians(T_cd)
+    def linearize(self, T_cd, sigma: float = 0.0):
+        self.cd._calc_jacobians(T_cd, sigma=sigma)
 
     def apply_linear(self, dT_cd, du_ns, dv_ns):
         return self.cd._get_dresiduals(dT_cd,
@@ -89,8 +89,8 @@ class NavierStokesComponent:
         return self.ns._get_residuals(u_ns, v_ns, p_ns,
                                       self.change_inputs(T_cd))
 
-    def linearize(self, u_ns, v_ns):
-        self.ns._calc_jacobians(u_ns, v_ns)
+    def linearize(self, u_ns, v_ns, sigma: float = 0.0):
+        self.ns._calc_jacobians(u_ns, v_ns, sigma=sigma)
 
     def apply_linear(self, du_ns, dv_ns, dp_ns, dT_cd):
         return self.ns._get_dresiduals(du_ns, dv_ns, dp_ns,

@@ -38,21 +38,33 @@ from sem_tpu import operators as ops
 __all__ = ["FDM2D"]
 
 
-def _eig_1d(K1: np.ndarray, m1: np.ndarray, interior: np.ndarray):
+def _eig_1d(K1: np.ndarray, m1: np.ndarray, interior: np.ndarray,
+            cache_key: str = None):
     """Generalized eigendecomposition of the restricted 1D pencil (K, M).
 
     M is diagonal (GLL mass lumping), so the generalized problem reduces to a
     symmetric standard one: with S = diag(1/√m),  S K S = Q Λ Qᵀ and
     Z = S Q satisfies ZᵀKZ = Λ, ZᵀMZ = I.
+
+    Disk-cached per 1D configuration when ``cache_key`` is given (the
+    eigh of the ~1k pencils at north-star sizes costs ~5 s of host LAPACK
+    each — the dominant warm-start construction cost, VERDICT r2 #5).
     """
-    Kii = K1[np.ix_(interior, interior)]
-    mii = m1[interior]
-    s = 1.0 / np.sqrt(mii)
-    A = (Kii * s[:, None]) * s[None, :]
-    A = 0.5 * (A + A.T)
-    lam, Q = scipy.linalg.eigh(A)
-    Z = s[:, None] * Q
-    return lam, Z
+    def build():
+        Kii = K1[np.ix_(interior, interior)]
+        mii = m1[interior]
+        s = 1.0 / np.sqrt(mii)
+        A = (Kii * s[:, None]) * s[None, :]
+        A = 0.5 * (A + A.T)
+        lam, Q = scipy.linalg.eigh(A)
+        return {"lam": lam, "Z": s[:, None] * Q}
+
+    if cache_key is not None:
+        from sem_tpu.utils.diskcache import npz_cached
+        out = npz_cached(cache_key, build)
+    else:
+        out = build()
+    return out["lam"], out["Z"]
 
 
 class FDM2D:
@@ -98,8 +110,20 @@ class FDM2D:
         self._y0, self._y1 = int(iy[0]), int(iy[-1]) + 1
         assert self._x1 - self._x0 == len(ix) and self._y1 - self._y0 == len(iy)
 
-        lx, Zx = _eig_1d(grid.K1x, grid.m1x, ix)
-        ly, Zy = _eig_1d(grid.K1y, grid.m1y, iy)
+        def key(P, Ne, L, ii):
+            return (f"fdm1d_v1_P{P}_Ne{Ne}_L{L}_i{int(ii[0])}_{int(ii[-1])}"
+                    if len(ii) else None)
+
+        # the two 1D eigendecompositions are independent — build them
+        # concurrently (scipy.linalg.eigh releases the GIL inside LAPACK)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fx = pool.submit(_eig_1d, grid.K1x, grid.m1x, ix,
+                             key(grid.P, grid.N_ex, grid.L_x, ix))
+            fy = pool.submit(_eig_1d, grid.K1y, grid.m1y, iy,
+                             key(grid.P, grid.N_ey, grid.L_y, iy))
+            lx, Zx = fx.result()
+            ly, Zy = fy.result()
         denom = lx[:, None] + ly[None, :] + self.alpha
         # pseudo-inverse of (near-)zero modes (pure-Neumann nullspace guard)
         scale = max(1.0, float(np.max(np.abs(denom))))
@@ -108,6 +132,9 @@ class FDM2D:
         self._Zx = Zx
         self._Zy = Zy
         self._ginv = ginv
+        self._lx = lx
+        self._ly = ly
+        self._denom_scale = scale
 
         # grid-form boolean mask of the Dirichlet nodes
         bm = np.ones((grid.Ngx, grid.Ngy), dtype=bool)
@@ -117,12 +144,20 @@ class FDM2D:
         self._solve_jit = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------------ #
-    def _solve_impl(self, r: jax.Array) -> jax.Array:
+    def _solve_impl(self, r: jax.Array, sigma=None) -> jax.Array:
         """Solve for one RHS ``(N,)`` or a stacked batch ``(..., N)``.
 
         Batched RHSs (e.g. both velocity components of a preconditioner
         application) run as one set of batched matmuls — a single dispatch,
         which matters because SEM-sized TPU matmuls are latency-bound.
+
+        :param sigma: optional additional mass shift — solves
+            ``(K + (α+σ) M) u = r`` with ``σ`` a *traced* scalar, so
+            pseudo-transient continuation can ramp the shift without
+            recompiling (the eigenbasis is σ-independent; only the diagonal
+            ``1/(λx ⊕ λy + α + σ)`` changes — one elementwise op next to the
+            four dense matmuls).  ``None`` uses the precomputed static
+            diagonal.
         """
         grid = self.grid
         dtype = r.dtype
@@ -148,7 +183,17 @@ class FDM2D:
 
         Zx = jnp.asarray(self._Zx.astype(dtype))
         Zy = jnp.asarray(self._Zy.astype(dtype))
-        ginv = jnp.asarray(self._ginv.astype(dtype))
+        if sigma is None:
+            ginv = jnp.asarray(self._ginv.astype(dtype))
+        else:
+            # in-trace diagonal: (M is diagonal, so the σM boundary-column
+            # coupling vanishes on interior rows — only the denominator moves)
+            lx = jnp.asarray(self._lx.astype(dtype))
+            ly = jnp.asarray(self._ly.astype(dtype))
+            denom = lx[:, None] + ly[None, :] + self.alpha \
+                + jnp.asarray(sigma, dtype)
+            ginv = jnp.where(jnp.abs(denom) > 1e-12 * self._denom_scale,
+                             1.0 / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         hi = ops.mm_precision(dtype)  # left-precon: accuracy-critical
         W = jnp.matmul(Zx.T, jnp.matmul(Rint, Zy, precision=hi),
                        precision=hi)
@@ -164,5 +209,6 @@ class FDM2D:
         """Solve the masked system for RHS ``r`` (flat, or stacked batch)."""
         return self._solve_jit(r)
 
-    def __call__(self, r: jax.Array) -> jax.Array:
-        return self._solve_impl(r)  # traceable form, for use inside jit
+    def __call__(self, r: jax.Array, sigma=None) -> jax.Array:
+        # traceable form, for use inside jit
+        return self._solve_impl(r, sigma=sigma)

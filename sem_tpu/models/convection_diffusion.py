@@ -107,6 +107,8 @@ class ConvectionDiffusionSolver:
         self._v = None
         self._jac_diag_u = None   # diag of ∂res/∂u (global diagonal)
         self._jac_diag_v = None
+        self._sigma = 0.0         # pseudo-transient T-block mass shift of
+        #                           the last _calc_jacobians (0 = steady)
 
         self.iter_count_solve = 0   # number of _get_update calls
         self.last_info = None       # KrylovInfo of the last linear solve
@@ -129,12 +131,17 @@ class ConvectionDiffusionSolver:
                 + ops.apply_stiffness(grid, T)
             return constrain(jnp.where(mask, T - dirichlet, r))
 
-        def dres(dT, u, v, jdu, jdv, du, dv):
-            """Tangent residual; jdu/jdv are the (diagonal) velocity Jacobians."""
+        md = jnp.asarray(grid.mass_diag)
+
+        def dres(dT, u, v, jdu, jdv, du, dv, sigma):
+            """Tangent residual; jdu/jdv are the (diagonal) velocity
+            Jacobians; ``sigma`` is the pseudo-transient mass shift σ of the
+            T-block (Jacobian of implicit Euler with Δt = Pe/σ — the GLL
+            mass is diagonal; 0 = steady)."""
             dT = constrain(dT)
             r = Pe * ops.apply_convection(grid, u, v, dT) \
                 + ops.apply_stiffness(grid, dT)
-            r = r + jdu * du + jdv * dv
+            r = r + jdu * du + jdv * dv + sigma * md.astype(dT.dtype) * dT
             return constrain(jnp.where(mask, dT, r))
 
         def jac_diags(T):
@@ -143,19 +150,20 @@ class ConvectionDiffusionSolver:
 
         eps = float(np.finfo(np.dtype(self._dtype)).eps)
 
-        def _make_mv(u, v, xdtype):
+        def _make_mv(u, v, xdtype, sigma):
             from sem_tpu.ops import apply_system_best
             ul = u.astype(xdtype)
             vl = v.astype(xdtype)
             pe = jnp.asarray(Pe, xdtype)
+            mdx = md.astype(xdtype)
 
             def mv(dT):
-                r = apply_system_best(grid, ul, vl, dT, pe)
+                r = apply_system_best(grid, ul, vl, dT, pe) + sigma * mdx * dT
                 return jnp.where(mask, dT, r)
 
             return mv
 
-        def update_f64(drhs, u, v, dT0, mtol_s):
+        def update_f64(drhs, u, v, dT0, mtol_s, sigma):
             # convergence floor: absolute RMS tolerance or mtol relative to
             # the RHS scale (absolute targets below roundoff are unreachable);
             # mtol_s is a traced scalar so per-call overrides (e.g. loose
@@ -163,23 +171,25 @@ class ConvectionDiffusionSolver:
             atol_eff = jnp.maximum(mtol_s * np.sqrt(self.N),
                                    jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(drhs))
-            mv64 = _make_mv(u, v, drhs.dtype)
+            mv64 = _make_mv(u, v, drhs.dtype, sigma)
             return gmres(mv64, drhs, x0=dT0, atol=atol_eff, restart=restart,
-                         maxiter=maxiter, precon=fdm,
+                         maxiter=maxiter,
+                         precon=lambda r: fdm(r, sigma=sigma),
                          return_hist="LGMRES_iter" in self._iprint)
 
         # separately-jitted pieces of the host-orchestrated mixed-precision
         # refinement (bounded dispatches — see krylov.refined_gmres_host)
         lp = jnp.float32
 
-        def cd_resid(x, b, u, v):
-            return b - _make_mv(u, v, self._dtype)(x)
+        def cd_resid(x, b, u, v, sigma):
+            return b - _make_mv(u, v, self._dtype, sigma)(x)
 
         want_hist = "LGMRES_iter" in self._iprint
 
-        def cd_gmres32(rp32, x032, atol32, ul32, vl32):
-            mv32 = _make_mv(ul32, vl32, lp)
-            return gmres(lambda q: fdm(mv32(q)), rp32, x0=x032, atol=atol32,
+        def cd_gmres32(rp32, x032, atol32, ul32, vl32, sigma32):
+            mv32 = _make_mv(ul32, vl32, lp, sigma32)
+            return gmres(lambda q: fdm(mv32(q), sigma=sigma32), rp32,
+                         x0=x032, atol=atol32,
                          restart=restart, maxiter=2 * restart + 5,
                          return_hist=want_hist)
 
@@ -188,7 +198,7 @@ class ConvectionDiffusionSolver:
         self._jac_diags_jit = jax.jit(jac_diags)
         self._update_jit = jax.jit(update_f64)
         self._cres_jit = jax.jit(cd_resid)
-        self._pc32_jit = jax.jit(lambda r32: fdm(r32))
+        self._pc32_jit = jax.jit(lambda r32, s32: fdm(r32, sigma=s32))
         self._gmres32_jit = jax.jit(cd_gmres32)
 
     # ---------------- seven-method discipline protocol ---------------- #
@@ -198,11 +208,17 @@ class ConvectionDiffusionSolver:
         self._v = place(v, self._dtype)
         return self._residual_jit(place(T, self._dtype), self._u, self._v)
 
-    def _calc_jacobians(self, T):
-        """Precompute ∂res/∂(u,v) diagonals (parity: reference :94-102)."""
+    def _calc_jacobians(self, T, sigma: float = 0.0):
+        """Precompute ∂res/∂(u,v) diagonals (parity: reference :94-102).
+
+        :param sigma: pseudo-transient mass shift σ of the T-block; the
+            stored value steers ``_get_dresiduals``/``_get_update`` until the
+            next call (steady solves use the default 0)
+        """
         jdu, jdv = self._jac_diags_jit(place(T, self._dtype))
         self._jac_diag_u = jdu
         self._jac_diag_v = jdv
+        self._sigma = float(sigma)
 
     def _get_dresiduals(self, dT, du=None, dv=None):
         """Tangent residual with the stored linearization (reference :104-121)."""
@@ -212,7 +228,8 @@ class ConvectionDiffusionSolver:
         du = z if du is None else place(du, self._dtype)
         dv = z if dv is None else place(dv, self._dtype)
         return self._dres_jit(place(dT, self._dtype), self._u, self._v,
-                              jdu, jdv, du, dv)
+                              jdu, jdv, du, dv,
+                              jnp.asarray(self._sigma, self._dtype))
 
     def _get_update(self, dres, dT0=None, mtol=None):
         """Solve the tangent system for dT (reference :123-156).
@@ -231,7 +248,8 @@ class ConvectionDiffusionSolver:
             dT, info = self._update_mixed(drhs, dT0, mtol_f)
         else:
             out = self._update_jit(drhs, self._u, self._v, dT0,
-                                   jnp.asarray(mtol_f, self._dtype))
+                                   jnp.asarray(mtol_f, self._dtype),
+                                   jnp.asarray(self._sigma, self._dtype))
             if len(out) == 3:   # 'LGMRES_iter': per-iteration residual lines
                 dT, info, hist = out
                 self._print_hist(hist, int(info.iterations))
@@ -271,10 +289,12 @@ class ConvectionDiffusionSolver:
         atol_eff = max(mtol * np.sqrt(self.N), max(mtol, 50 * eps) * normb)
         ul32 = self._u.astype(lp)
         vl32 = self._v.astype(lp)
+        sigma32 = jnp.asarray(self._sigma, lp)
+        sigma64 = jnp.asarray(self._sigma, self._dtype)
         count = [0]
 
         def chunk(rp, xin, a):
-            out = self._gmres32_jit(rp, xin, a, ul32, vl32)
+            out = self._gmres32_jit(rp, xin, a, ul32, vl32, sigma32)
             if len(out) == 3:   # 'LGMRES_iter' (f32 inner-loop residuals)
                 x, info, hist = out
                 self._print_hist(hist, int(info.iterations), count[0])
@@ -283,8 +303,9 @@ class ConvectionDiffusionSolver:
             return out
 
         return refined_gmres_host(
-            cres=lambda x: self._cres_jit(x, drhs, self._u, self._v),
-            pc_lp=self._pc32_jit,
+            cres=lambda x: self._cres_jit(x, drhs, self._u, self._v,
+                                          sigma64),
+            pc_lp=lambda r32: self._pc32_jit(r32, sigma32),
             gmres_chunk=chunk,
             b=drhs, x0=dT0, atol=atol_eff, maxiter=self._maxiter)
 
@@ -293,6 +314,8 @@ class ConvectionDiffusionSolver:
 
         :param mtol: optional RMS tolerance override for this solve
         """
+        self._sigma = 0.0  # nonlinear solves are steady (a stale
+        #                    pseudo-transient shift must not leak in)
         T = (jnp.zeros(self.N, self._dtype) if T0 is None
              else place(T0, self._dtype))
         res = self._get_residuals(T, u, v)

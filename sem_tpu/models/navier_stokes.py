@@ -128,23 +128,20 @@ def _spectral_schur_data(grid: Grid2D):
     inverse plus the pencil eigendecompositions cost ~30 s of host LAPACK,
     so the result is persisted to the :mod:`sem_tpu` cache directory
     (``SEM_TPU_CACHE_DIR``, alongside the XLA compilation cache; disable
-    with ``SEM_TPU_CACHE=0``) keyed by the grid configuration.
+    with ``SEM_TPU_CACHE=0``) keyed by the grid configuration; on a cold
+    cache the three independent LAPACK pieces (two pencils, ring inverse)
+    build concurrently.
 
-    Returns dict of NumPy constants: Zx, Zy, ginv (Ngx,Ngy), Kbb_inv.
+    Returns dict of NumPy constants: Zx, Zy, esum/ksum (Ngx, Ngy) — the
+    per-mode pencil values and stiffness Rayleigh quotients, combined into
+    ``ginv = (ksum + σ)/esum`` at trace time so a pseudo-transient mass
+    shift σ (see ``_get_update``'s ``sigma``) reuses the same constants —
+    and Kbb_inv.
     """
-    import os
     import scipy.linalg
+    from concurrent.futures import ThreadPoolExecutor
 
-    cache_file = None
-    if os.environ.get("SEM_TPU_CACHE", "1") != "0":
-        cdir = os.environ.get("SEM_TPU_CACHE_DIR",
-                              os.path.expanduser("~/.cache/sem_tpu_jax"))
-        key = (f"spectral_v1_{grid.P}_{grid.N_ex}_{grid.N_ey}"
-               f"_{grid.L_x}_{grid.L_y}.npz")
-        cache_file = os.path.join(cdir, key)
-        if os.path.exists(cache_file):
-            with np.load(cache_file) as z:
-                return {k: z[k] for k in ("Zx", "Zy", "ginv", "Kbb_inv")}
+    from sem_tpu.utils.diskcache import npz_cached
 
     def pencil(G1, m1, K1):
         E1 = G1.T @ (G1 / m1[:, None])
@@ -156,41 +153,38 @@ def _spectral_schur_data(grid: Grid2D):
         lhat = (Z * (K1 @ Z)).sum(axis=0)  # per-mode Rayleigh quotients
         return lam, lhat, Z
 
-    ex, lx, Zx = pencil(grid.G1x, grid.m1x, grid.K1x)
-    ey, ly, Zy = pencil(grid.G1y, grid.m1y, grid.K1y)
-    esum = ex[:, None] + ey[None, :]
-    ksum = lx[:, None] + ly[None, :]
-    scale = float(np.max(np.abs(esum)))
-    # only the exact (constant ⊗ constant) null mode is cut — the pressure
-    # pin handles constants; the near-spurious tail is the point of the
-    # method and must NOT be truncated
-    ginv = np.where(np.abs(esum) > 1e-14 * scale,
-                    ksum / np.where(esum == 0.0, 1.0, esum), 0.0)
+    def ring_inverse():
+        # boundary-ring stiffness block in edge-slice order (W row, E row,
+        # S column sans corners, N column sans corners)
+        Ngx, Ngy = grid.Ngx, grid.Ngy
+        ixb = np.concatenate([np.zeros(Ngy, int), np.full(Ngy, Ngx - 1),
+                              np.arange(1, Ngx - 1), np.arange(1, Ngx - 1)])
+        iyb = np.concatenate([np.arange(Ngy), np.arange(Ngy),
+                              np.zeros(Ngx - 2, int),
+                              np.full(Ngx - 2, Ngy - 1)])
+        # K[(ix1,iy1),(ix2,iy2)] =
+        #   K1x[ix1,ix2]·m1y[iy1]·δ_y + m1x[ix1]·K1y[iy1,iy2]·δ_x
+        Kbb = (grid.K1x[np.ix_(ixb, ixb)] * grid.m1y[iyb][:, None]
+               * (iyb[:, None] == iyb[None, :])
+               + grid.K1y[np.ix_(iyb, iyb)] * grid.m1x[ixb][:, None]
+               * (ixb[:, None] == ixb[None, :]))
+        return np.linalg.inv(Kbb)
 
-    # boundary-ring stiffness block in edge-slice order (W row, E row,
-    # S column sans corners, N column sans corners)
-    Ngx, Ngy = grid.Ngx, grid.Ngy
-    ixb = np.concatenate([np.zeros(Ngy, int), np.full(Ngy, Ngx - 1),
-                          np.arange(1, Ngx - 1), np.arange(1, Ngx - 1)])
-    iyb = np.concatenate([np.arange(Ngy), np.arange(Ngy),
-                          np.zeros(Ngx - 2, int),
-                          np.full(Ngx - 2, Ngy - 1)])
-    # K[(ix1,iy1),(ix2,iy2)] = K1x[ix1,ix2]·m1y[iy1]·δ_y + m1x[ix1]·K1y[iy1,iy2]·δ_x
-    Kbb = (grid.K1x[np.ix_(ixb, ixb)] * grid.m1y[iyb][:, None]
-           * (iyb[:, None] == iyb[None, :])
-           + grid.K1y[np.ix_(iyb, iyb)] * grid.m1x[ixb][:, None]
-           * (ixb[:, None] == ixb[None, :]))
-    Kbb_inv = np.linalg.inv(Kbb)
-    out = {"Zx": Zx, "Zy": Zy, "ginv": ginv, "Kbb_inv": Kbb_inv}
-    if cache_file is not None:
-        try:
-            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
-            tmp = cache_file + f".tmp{os.getpid()}.npz"
-            np.savez(tmp, **out)
-            os.replace(tmp, cache_file)
-        except OSError:
-            pass  # cache is best-effort
-    return out
+    def build():
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fx = pool.submit(pencil, grid.G1x, grid.m1x, grid.K1x)
+            fy = pool.submit(pencil, grid.G1y, grid.m1y, grid.K1y)
+            fb = pool.submit(ring_inverse)
+            ex, lx, Zx = fx.result()
+            ey, ly, Zy = fy.result()
+            Kbb_inv = fb.result()
+        esum = ex[:, None] + ey[None, :]
+        ksum = lx[:, None] + ly[None, :]
+        return {"Zx": Zx, "Zy": Zy, "esum": esum, "ksum": ksum,
+                "Kbb_inv": Kbb_inv}
+
+    return npz_cached(f"spectral_v2_{grid.P}_{grid.N_ex}_{grid.N_ey}"
+                      f"_{grid.L_x}_{grid.L_y}", build)
 
 
 class NavierStokesSolver:
@@ -317,9 +311,13 @@ class NavierStokesSolver:
         self._u_lin = None
         self._v_lin = None
         self._jac = None  # (jxx, jxy, jyx, jyy) diagonal vectors
+        self._sigma = 0.0  # pseudo-transient mass shift of the last
+        #                    _calc_jacobians (0 = steady Newton)
 
         self._k = 0                 # Newton iterations of the last solve
         self.iter_count_solve = 0   # number of _get_update calls
+        self.f64_fallback_count = 0  # single-level f64 retries of the mixed
+        #                              path (0 = everything through f32)
         self.last_schur_info = None
         self.last_velo_info = None
 
@@ -362,11 +360,19 @@ class NavierStokesSolver:
             rc = jnp.where(pin, p, rc)         # pressure pin (:116)
             return ru, rv, rc
 
-        def jac_diags(u, v):
-            return (Re * ops.conv_diag_x(grid, u),
+        def jac_diags(u, v, sigma):
+            """Convection Jacobian diagonals, plus the pseudo-transient mass
+            shift σ·diag(M) on the (u,u) and (v,v) blocks.  The GLL mass is
+            diagonal, so the entire velocity shift σ·M of a pseudo-transient
+            (implicit-Euler) Jacobian is exactly a Jacobian-diagonal shift —
+            every downstream tangent apply (XLA, Pallas kernel, device JNK)
+            picks it up through the existing ``jac`` runtime arguments with
+            no signature change."""
+            md_ = jnp.asarray(grid.mass_diag, u.dtype)
+            return (Re * ops.conv_diag_x(grid, u) + sigma * md_,
                     Re * ops.conv_diag_y(grid, u),
                     Re * ops.conv_diag_x(grid, v),
-                    Re * ops.conv_diag_y(grid, v))
+                    Re * ops.conv_diag_y(grid, v) + sigma * md_)
 
         def dres(du, dv, dp, dT, u_lin, v_lin, jac):
             jxx, jxy, jyx, jyy = jac
@@ -384,7 +390,7 @@ class NavierStokesSolver:
 
         zero = lambda: jnp.zeros(N, dtype)
 
-        def solve_velo(bu, bv, u_lin, v_lin, jac, q0):
+        def solve_velo(bu, bv, u_lin, v_lin, jac, q0, sigma):
             """Invert the masked 2N×2N velocity Jacobian (SuperLU replacement)."""
             b = jnp.concatenate([bu, bv])
 
@@ -394,7 +400,8 @@ class NavierStokesSolver:
                 return jnp.concatenate([dru, drv])
 
             def pc(q):
-                return jnp.concatenate([fdm(q[:N]), fdm(q[N:])])
+                duv = fdm(jnp.stack([q[:N], q[N:]]), sigma=sigma)
+                return jnp.concatenate([duv[0], duv[1]])
 
             atol = jnp.maximum(jnp.asarray(atol_velo_abs, dtype),
                                10 * eps * jnp.linalg.norm(b))
@@ -422,14 +429,33 @@ class NavierStokesSolver:
             """Traceable Ŝ⁻¹ apply of the 'spectral' Schur block (see
             _spectral_schur_data): tensor solve on interior rows + exact
             elimination of the (static) boundary stiffness rows — all static
-            slices, no TPU gather/scatter."""
+            slices, no TPU gather/scatter.
+
+            The returned apply takes the velocity-block mass shift ``sigma``
+            (a traced scalar; 0 = steady) and matches the Schur complement of
+            the shifted block ``A + σM`` mode-by-mode:
+            ``ginv = (λ̂ ⊕ σ)/ε`` computed in-trace from the stored pencil
+            spectra — one (Ngx, Ngy) elementwise op, negligible next to the
+            four dense matmuls.  The boundary rows of S are the pressure
+            stiffness rows (unaffected by the velocity shift), so ``Kbb_inv``
+            stays exact.
+            """
             Zx = jnp.asarray(self._spec["Zx"].astype(xdtype))
             Zy = jnp.asarray(self._spec["Zy"].astype(xdtype))
-            ginv = jnp.asarray(self._spec["ginv"].astype(xdtype))
+            esum_np = self._spec["esum"]
+            scale = float(np.max(np.abs(esum_np)))
+            # only the exact (constant ⊗ constant) null mode is cut — the
+            # pressure pin handles constants; the near-spurious tail is the
+            # point of the method and must NOT be truncated
+            nz_np = np.abs(esum_np) > 1e-14 * scale
+            nz = jnp.asarray(nz_np)
+            esafe = jnp.asarray(np.where(nz_np, esum_np, 1.0).astype(xdtype))
+            ksum = jnp.asarray(self._spec["ksum"].astype(xdtype))
             Kbb_inv = jnp.asarray(self._spec["Kbb_inv"].astype(xdtype))
             hi = ops.mm_precision(xdtype)
 
-            def apply_(rp):
+            def apply_(rp, sigma):
+                ginv = jnp.where(nz, (ksum + sigma) / esafe, 0.0)
                 r_int = jnp.where(mb_or_pin, 0.0, rp).reshape(Ngx, Ngy)
                 W = jnp.matmul(Zx.T, jnp.matmul(r_int, Zy, precision=hi),
                                precision=hi)
@@ -450,26 +476,27 @@ class NavierStokesSolver:
         spectral_f64 = (_make_spectral(dtype)
                         if self._schur_precon == "spectral" else None)
 
-        def precon_schur(c):
+        def precon_schur(c, sigma):
             """Schur preconditioner of the Uzawa path: the reference's
             inverse-diagonal-mass (reference :208-212), or the
             resolution-robust 'spectral' block."""
             if self._schur_precon == "spectral":
-                return spectral_f64(c)
+                return spectral_f64(c, sigma)
             return jnp.where(pin, c, c / mass_diag)
 
-        def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0, mtol_s):
+        def update(res_u, res_v, res_cont, u_lin, v_lin, jac, dp0, mtol_s,
+                   sigma):
             """Full Uzawa update (reference :162-236), one XLA program."""
             # velocity pre-solve: A⁻¹ rhs_uv
             q_star, velo_info = solve_velo(res_u, res_v, u_lin, v_lin, jac,
-                                           jnp.zeros(2 * N, dtype))
+                                           jnp.zeros(2 * N, dtype), sigma)
             b_schur = res_cont - dres(q_star[:N], q_star[N:], zero(), zero(),
                                       u_lin, v_lin, jac)[2]
 
             def schur_mv(dp):
                 bu, bv, _ = dres(zero(), zero(), dp, zero(), u_lin, v_lin, jac)
                 f, _ = solve_velo(bu, bv, u_lin, v_lin, jac,
-                                  jnp.zeros(2 * N, dtype))
+                                  jnp.zeros(2 * N, dtype), sigma)
                 return dres(-f[:N], -f[N:], dp, zero(), u_lin, v_lin, jac)[2]
 
             # convergence floor: the absolute RMS tolerance (reference :223)
@@ -481,7 +508,8 @@ class NavierStokesSolver:
                                    * jnp.linalg.norm(b_schur))
             out = gmres(schur_mv, b_schur, x0=dp0,
                         atol=atol_eff, restart=self._restart,
-                        maxiter=self._maxiter, precon=precon_schur,
+                        maxiter=self._maxiter,
+                        precon=lambda c: precon_schur(c, sigma),
                         return_hist=want_hist)
             dp, schur_info = out[0], out[1]
             hist = out[2] if want_hist else jnp.zeros(0, dtype)
@@ -489,7 +517,7 @@ class NavierStokesSolver:
             # velocity back-substitution (reference :232-235)
             bu, bv, _ = dres(zero(), zero(), dp, zero(), u_lin, v_lin, jac)
             q, velo_info2 = solve_velo(res_u - bu, res_v - bv, u_lin, v_lin,
-                                       jac, q_star)
+                                       jac, q_star, sigma)
             return q[:N], q[N:], dp, schur_info, velo_info2, hist
 
         def _coupled_ops(u_lin, v_lin, jac, xdtype):
@@ -561,12 +589,12 @@ class NavierStokesSolver:
             spectral_x = (_make_spectral(xdtype)
                           if self._schur_precon == "spectral" else None)
 
-            def pc(r):
+            def pc(r, sigma):
                 ru, rv, rp = r[:N], r[N:2 * N], r[2 * N:]
                 if self._schur_precon == "spectral":
                     # resolution-robust spectrally-matched Schur block
                     # (handles its own boundary/pin rows)
-                    dp = spectral_x(rp)
+                    dp = spectral_x(rp, sigma)
                 elif self._schur_precon == "pcd":
                     # pressure convection-diffusion Schur approximation:
                     # Ŝ⁻¹ ≈ M⁻¹ F_p A_p⁻¹ (Elman-Silvester-Wathen), with
@@ -590,13 +618,13 @@ class NavierStokesSolver:
                 gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
                 gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
                 # both velocity FDM solves as one batched dispatch
-                duv = fdm(jnp.stack([ru - gx, rv - gy]))
+                duv = fdm(jnp.stack([ru - gx, rv - gy]), sigma=sigma)
                 return jnp.concatenate([duv[0], duv[1], dp])
 
             return mv, pc
 
         def update_coupled_f64(res_u, res_v, res_cont, u_lin, v_lin, jac,
-                               dp0, mtol_s):
+                               dp0, mtol_s, sigma):
             """Pure-f64 single-level saddle-point solve (mixed_precision off).
 
             GMRES on the stacked (du,dv,dp) system with a block upper-
@@ -613,7 +641,8 @@ class NavierStokesSolver:
             q0 = jnp.concatenate([zero(), zero(), dp0])
             out = gmres(mv64, b, x0=q0, atol=atol_eff,
                         restart=self._restart,
-                        maxiter=self._maxiter, precon=pc64,
+                        maxiter=self._maxiter,
+                        precon=lambda r: pc64(r, sigma),
                         return_hist=want_hist)
             q, info = out[0], out[1]
             hist = out[2] if want_hist else jnp.zeros(0, dtype)
@@ -627,21 +656,23 @@ class NavierStokesSolver:
         lp = jnp.float32
 
         def coupled_resid(x, b, u_lin, v_lin, jac):
+            # the mass shift rides in the (shifted) jac diagonals — no
+            # explicit sigma needed on the matvec side
             mv64, _ = _coupled_ops(u_lin, v_lin, jac, dtype)
             return b - mv64(x)
 
-        def coupled_pc32(r32, ul32, vl32):
+        def coupled_pc32(r32, ul32, vl32, sigma32):
             _, pc32 = _coupled_ops(ul32, vl32,
                                    tuple(jnp.zeros(N, lp) for _ in range(4)),
                                    lp)  # pc ignores the Jacobian diagonals
-            return pc32(r32)
+            return pc32(r32, sigma32)
 
-        def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32):
+        def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32, sigma32):
             # bounded chunk of left-preconditioned f32 GMRES (warm-started);
             # chunking keeps each device dispatch within runtime watchdogs
             mv32, pc32 = _coupled_ops(ul32, vl32, jac32, lp)
-            return gmres(lambda q: pc32(mv32(q)), rp32, x0=x032, atol=atol32,
-                         restart=self._restart,
+            return gmres(lambda q: pc32(mv32(q), sigma32), rp32, x0=x032,
+                         atol=atol32, restart=self._restart,
                          maxiter=2 * self._restart + 5,
                          return_hist=want_hist)
 
@@ -674,12 +705,14 @@ class NavierStokesSolver:
         ul32 = self._u_lin.astype(lp)
         vl32 = self._v_lin.astype(lp)
         jac32 = tuple(j.astype(lp) for j in self._jac)
+        sigma32 = jnp.asarray(self._sigma, lp)
 
         x0 = jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
         count = [0]
 
         def chunk(rp, xin, atol_lp):
-            out = self._gmres32_jit(rp, xin, atol_lp, ul32, vl32, jac32)
+            out = self._gmres32_jit(rp, xin, atol_lp, ul32, vl32, jac32,
+                                    sigma32)
             if len(out) == 3:   # 'LGMRES_iter' (f32 inner-loop residuals)
                 xc, infoc, hist = out
                 h = np.asarray(hist)
@@ -692,7 +725,7 @@ class NavierStokesSolver:
         x, info = refined_gmres_host(
             cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
                                           self._jac),
-            pc_lp=lambda r32: self._pc32_jit(r32, ul32, vl32),
+            pc_lp=lambda r32: self._pc32_jit(r32, ul32, vl32, sigma32),
             gmres_chunk=chunk,
             b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
             max_refine=self._max_refine)
@@ -707,12 +740,22 @@ class NavierStokesSolver:
         return self._residual_jit(u, v, place(p, self._dtype),
                                   place(T, self._dtype))
 
-    def _calc_jacobians(self, u, v):
-        """Precompute the convection Jacobian diagonals (reference :123-136)."""
+    def _calc_jacobians(self, u, v, sigma: float = 0.0):
+        """Precompute the convection Jacobian diagonals (reference :123-136).
+
+        :param sigma: pseudo-transient mass shift σ of the velocity blocks
+            (the Jacobian becomes that of implicit Euler with Δt = Re/σ,
+            i.e. A + σM; the GLL mass is diagonal so the shift lives in the
+            (u,u)/(v,v) Jacobian diagonals).  The stored σ also steers the
+            preconditioners of the subsequent ``_get_update`` — steady
+            solves use the default 0.
+        """
         u = place(u, self._dtype)
         v = place(v, self._dtype)
         self._u_lin, self._v_lin = u, v
-        self._jac = self._jac_diags_jit(u, v)
+        self._sigma = float(sigma)
+        self._jac = self._jac_diags_jit(u, v,
+                                        jnp.asarray(sigma, self._dtype))
 
     def _get_dresiduals(self, du, dv, dp, dT=None):
         """Tangent residuals with the stored linearization (reference :138-160)."""
@@ -753,12 +796,14 @@ class NavierStokesSolver:
                 atol_eff = max(mtol_f * np.sqrt(3 * self.N),
                                max(mtol_f, 50 * eps) * nb)
                 if float(schur_info.resnorm) > 100 * atol_eff:
+                    self.f64_fallback_count += 1
                     mtol_s = jnp.asarray(mtol_f, self._dtype)
                     du, dv, dp, schur_info, velo_info, _ = self._update_jit(
                         place(dres_u, self._dtype),
                         place(dres_v, self._dtype),
                         place(dres_cont, self._dtype),
-                        self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
+                        self._u_lin, self._v_lin, self._jac, dp0, mtol_s,
+                        jnp.asarray(self._sigma, self._dtype))
                     if "LGMRES_suc" in self._iprint:
                         print("NavierStokes linear solve: mixed-precision "
                               "path floored far above tolerance; retried "
@@ -768,7 +813,8 @@ class NavierStokesSolver:
             du, dv, dp, schur_info, velo_info, hist = self._update_jit(
                 place(dres_u, self._dtype), place(dres_v, self._dtype),
                 place(dres_cont, self._dtype),
-                self._u_lin, self._v_lin, self._jac, dp0, mtol_s)
+                self._u_lin, self._v_lin, self._jac, dp0, mtol_s,
+                jnp.asarray(self._sigma, self._dtype))
             if "LGMRES_iter" in self._iprint:
                 h = np.asarray(hist)
                 for j in range(int(schur_info.iterations)):
@@ -851,6 +897,89 @@ class NavierStokesSolver:
             p = p + dp
             self._k += 1
         return u, v, p
+
+    def solve_ptc(self, T, u0=None, v0=None, p0=None, mtol=None,
+                  dt0: float = 0.1, growth: float = 3.0,
+                  dt_max: float = 1e12, forcing_ptc: float = 1e-2,
+                  max_steps: int = 300):
+        """Pseudo-transient continuation solve — globally-convergent path to
+        steady states where the from-zero Newton fails (convection-dominated
+        regimes, e.g. the Re≥400 lid cavity on fine grids where round-2
+        needed a full-f64 fallback; capability beyond the reference, whose
+        Newton loop reference :253-268 simply diverges there).
+
+        Each step solves the damped/implicit-Euler system
+        ``(J + σM)δ = −F`` with σ = Re/Δt carried in the Jacobian diagonals
+        (``_calc_jacobians(sigma=...)``) and matched by the shifted FDM and
+        Schur preconditioners — the linear systems stay diagonally dominant
+        (and inside the f32 mixed-precision path's attainable range) exactly
+        when the steady ones are intractable.  Δt ramps by SER (switched
+        evolution relaxation): grow by ‖F_k‖/‖F_{k+1}‖ capped at ``growth``,
+        shrink 10× on blowup; steps are always accepted otherwise (the
+        physical transient may transiently raise ‖F‖).  As Δt→∞ the step is
+        exact Newton; convergence is tested on the unchanged steady residual
+        at the same RMS tolerance as :meth:`_get_solution`.
+
+        :return: (u, v, p)
+        """
+        z = jnp.zeros(self.N, self._dtype)
+        u = z if u0 is None else place(u0, self._dtype)
+        v = z if v0 is None else place(v0, self._dtype)
+        p = z if p0 is None else place(p0, self._dtype)
+        T = place(T, self._dtype)
+        atol = ((self._mtol_newton if mtol is None else mtol)
+                * np.sqrt(self.N * 3))
+        dt = float(dt0)
+        self._k = 0
+        ru, rv, rc = self._get_residuals(u, v, p, T)
+        norm = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
+                              + jnp.vdot(rc, rc)))
+        for k in range(max_steps):
+            if "NEWTON_iter" in self._iprint:
+                print(f"NavierStokes PTC: {k}\t{norm}\tdt={dt:.3g}")
+            if norm <= atol:
+                if "NEWTON_suc" in self._iprint:
+                    print(f"NavierStokes PTC: Converged in {k} steps")
+                return u, v, p
+            self._calc_jacobians(u, v, sigma=self._Re / dt)
+            floor = self._mtol if mtol is None else mtol
+            mtol_k = max(floor, forcing_ptc * norm / np.sqrt(3 * self.N))
+            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol_k)
+            info = self.last_schur_info
+            lin_failed = (not bool(info.converged)
+                          and float(info.resnorm)
+                          > 10 * mtol_k * np.sqrt(3 * self.N))
+            un, vn, pn = u + du, v + dv, p + dp
+            run_, rvn, rcn = self._get_residuals(un, vn, pn, T)
+            norm_new = float(jnp.sqrt(jnp.vdot(run_, run_)
+                                      + jnp.vdot(rvn, rvn)
+                                      + jnp.vdot(rcn, rcn)))
+            self._k += 1
+            if not np.isfinite(norm_new) or norm_new > 1e3 * max(norm, 1.0):
+                dt /= 10.0  # blowup: reject, damp hard
+                if dt < 1e-10:
+                    raise RuntimeError(
+                        f"NavierStokes PTC: pseudo-time step collapsed at "
+                        f"residual {norm:.3e}")
+                continue
+            ratio = norm / max(norm_new, 1e-300)
+            if lin_failed and norm_new > 0.95 * norm:
+                # the shifted linear solve stalled far from its target AND
+                # the step went nowhere: strengthen the shift instead of
+                # holding Δt — a smaller Δt restores preconditioner
+                # dominance and the SER ramp re-grows it as progress
+                # resumes.  (Slow-but-real progress with healthy linear
+                # solves is the normal transient march: never shrink Δt
+                # there — it only slows the march further.)
+                dt = max(dt * 0.5, 1e-10)
+            else:
+                dt = min(dt * min(max(ratio, 0.1), growth), dt_max)
+            u, v, p = un, vn, pn
+            ru, rv, rc = run_, rvn, rcn
+            norm = norm_new
+        raise RuntimeError(
+            f"NavierStokes PTC: no convergence in {max_steps} steps "
+            f"(residual {norm:.3e}, target {atol:.3e})")
 
     def _get_vector(self, f_func: typing.Callable) -> np.ndarray:
         """Evaluate a callable at the global nodes (reference :272-278)."""

@@ -12,7 +12,8 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
     -Ne 8,16        element counts (CD runs at Ne/2 like the reference study)
     -Re 1e3         Reynolds numbers
     -Ra 1e3,1e4     Rayleigh numbers
-    -mode JNK       GS | NJ | JNK
+    -mode JNK       GS | NJ | JNK | PTC (pseudo-transient continuation —
+                    capability beyond the reference; the high-Ra path)
     -log True       tee stdout to Boussinesq_study/<title>.log
     -save True      save .npz results
     -backend single single | mesh (mesh = shard over all visible devices,
@@ -64,7 +65,7 @@ def run(log=False, save=True,
         title += f"{mtol_nonlin:.0e}_{mtol_internal:.0e}"
     elif mode == "NJ":
         title += f"{mtol_nonlin:.0e}~{AGi}~{AGr}~{AGc}_{mtol_internal:.0e}"
-    elif mode == "JNK":
+    elif mode in ("JNK", "PTC"):
         title += f"{mtol_nonlin:.0e}_{mtol_gmres:.0e}~{restart}_{mtol_internal:.0e}"
     else:
         raise RuntimeError("Unknown method")
