@@ -7,14 +7,21 @@ p=16, 64×64 elements (N = 1,050,625 DOF), float32, on one chip.
 
 ``vs_baseline``: the reference applies the same operator as a SciPy CSR
 matvec on the host (reference ConvectionDiffusion_Solver.py:87); since the
-reference publishes no numbers (BASELINE.md), the baseline is measured here:
+reference publishes no numbers (BASELINE.md), the baseline is a **pinned,
+dated constant** stored under the ``"csr_pinned"`` key of BASELINE.json —
 the same operator assembled to CSR and applied on this machine's CPU at a
 comparable configuration (p=8, 32×32; the CSR at p=16/64×64 would need
-~343M nonzeros).  The ratio is taken at that common configuration.
+~343M nonzeros), measured best-of-N on a quiet host via
+``python bench.py --pin-csr``.  Re-measuring the shared noisy host per
+bench run made the ratio swing 31–86 between runs (round-2 VERDICT #8);
+the pinned constant makes it stable.  The ratio's config (p8 32×32) is
+reported separately from the headline (p16 64×64) value.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
+import datetime
 import json
+import os
 import sys
 import time
 
@@ -24,35 +31,53 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
 
 from sem_tpu import operators as ops
 from sem_tpu.mesh import Grid2D
 from sem_tpu.ops import apply_system_best
 
+_BASELINE_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE.json")
+
 
 def device_apply_rate(grid: Grid2D, dtype, iters: int, pe: float = 40.0):
-    """Sustained (K + Pe·conv) apply rate in GDOF/s (normalized power
-    iteration inside one jitted fori_loop — no dispatch overhead)."""
+    """Sustained BARE (K + Pe·conv) apply rate in GDOF/s.
+
+    The timed region contains only the chained operator applies: the chain
+    ``x ← c·(A x)`` uses a *constant* scalar ``c ≈ 1/ρ(A)`` (estimated from
+    three power steps outside the timed region) to keep magnitudes bounded;
+    the multiply fuses into the apply's own padding/copy pass under jit, so
+    no norm, reduction, or extra memory pass is timed (round-2 VERDICT #8:
+    the old normalized power iteration understated the raw apply ~45%).
+    """
     u = jnp.asarray(np.random.default_rng(0).standard_normal(grid.N), dtype)
     v = jnp.asarray(np.random.default_rng(1).standard_normal(grid.N), dtype)
     pe = jnp.asarray(pe, dtype)
+
+    # spectral-radius estimate (outside the timed region)
+    x = u / jnp.linalg.norm(u)
+    for _ in range(3):
+        y = apply_system_best(grid, u, v, x, pe)
+        lam = float(jnp.linalg.norm(y))
+        x = y / lam
+    c = 1.0 / lam  # Python float: baked into the compiled program
+
     @jax.jit
     def many(x):
         def body(_, x):
-            y = apply_system_best(grid, u, v, x, pe)
-            return y / jnp.linalg.norm(y)
+            return c * apply_system_best(grid, u, v, x, pe)
         return lax.fori_loop(0, iters, body, x)
 
-    x0 = u / jnp.linalg.norm(u)
-    jax.block_until_ready(many(x0))  # compile + warm
+    jax.block_until_ready(many(x))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(many(x0))
+    jax.block_until_ready(many(x))
     dt = time.perf_counter() - t0
     return grid.N * iters / dt / 1e9, dt
 
 
-def csr_apply_rate(grid: Grid2D, iters: int, pe: float = 40.0):
+def csr_apply_rate(grid: Grid2D, iters: int, pe: float = 40.0,
+                   repeats: int = 3):
     """The reference-architecture baseline: assembled CSR matvec on host CPU."""
     import scipy.sparse as sp
     P = grid.P
@@ -91,7 +116,7 @@ def csr_apply_rate(grid: Grid2D, iters: int, pe: float = 40.0):
     x = np.random.default_rng(2).standard_normal(grid.N)
     A @ x  # warm
     best = float("inf")
-    for _ in range(3):   # best-of-3: the host CPU is shared and noisy
+    for _ in range(repeats):  # best-of-N: the host CPU is shared and noisy
         t0 = time.perf_counter()
         xx = x
         for _ in range(iters):
@@ -123,21 +148,53 @@ def coupled_solve_wall(P=8, N_e=16):
     return wall, u_anchor
 
 
+_CMP_CONFIG = dict(P=8, N_ex=32, N_ey=32)  # ratio config (CSR-feasible)
+
+
+def pin_csr_baseline(repeats: int = 10):
+    """Measure the CSR baseline best-of-N on a (hopefully quiet) host and
+    persist it as the pinned ``"csr_pinned"`` entry of BASELINE.json."""
+    cmp_grid = Grid2D(L_x=1.0, L_y=1.0, **_CMP_CONFIG)
+    rate, _ = csr_apply_rate(cmp_grid, iters=30, repeats=repeats)
+    with open(_BASELINE_JSON) as f:
+        data = json.load(f)
+    data["csr_pinned"] = {
+        "config": "p8_32x32_f64_csr_host",
+        "gdof_s": round(rate, 4),
+        "best_of": repeats,
+        "date": datetime.date.today().isoformat(),
+        "note": ("reference-architecture baseline: assembled CSR matvec of "
+                 "(K + Pe*conv) on this machine's host CPU (reference "
+                 "ConvectionDiffusion_Solver.py:87); pinned so bench runs "
+                 "do not fold host contention into vs_baseline"),
+    }
+    with open(_BASELINE_JSON, "w") as f:
+        json.dump(data, f, indent=2)
+        f.write("\n")
+    print(f"pinned CSR baseline: {rate:.4f} GDOF/s (best of {repeats})")
+    return rate
+
+
 def main():
-    on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32
 
-    # comparable configuration for the reference-vs-TPU ratio.  Both sides
-    # take the best of three timed passes: the CSR baseline runs on the
-    # (shared) host CPU and a single pass is noisy under contention, which
-    # otherwise folds host load into the reported ratio.
-    cmp_grid = Grid2D(P=8, N_ex=32, N_ey=32, L_x=1.0, L_y=1.0)
-    csr_rate, A = csr_apply_rate(cmp_grid, iters=30)
+    # reference-architecture baseline: the pinned, dated constant (measure
+    # with --pin-csr); only measured inline as a fallback if never pinned
+    with open(_BASELINE_JSON) as f:
+        pinned = json.load(f).get("csr_pinned")
+    if pinned is not None:
+        csr_rate = float(pinned["gdof_s"])
+    else:
+        cmp_grid = Grid2D(L_x=1.0, L_y=1.0, **_CMP_CONFIG)
+        csr_rate, _ = csr_apply_rate(cmp_grid, iters=30)
+
+    # device side of the ratio at the same (CSR-feasible) configuration
+    cmp_grid = Grid2D(L_x=1.0, L_y=1.0, **_CMP_CONFIG)
     dev_rate_cmp = max(device_apply_rate(cmp_grid, dtype, iters=200)[0]
                        for _ in range(3))
     vs_baseline = dev_rate_cmp / csr_rate
 
-    # headline: north-star configuration (best of three)
+    # headline: bare apply rate at the north-star configuration (best of 3)
     big = Grid2D(P=16, N_ex=64, N_ey=64, L_x=1.0, L_y=1.0)
     value = max(device_apply_rate(big, dtype, iters=100)[0]
                 for _ in range(3))
@@ -149,11 +206,19 @@ def main():
         "metric": "sem_operator_apply_p16_64x64_f32",
         "value": round(value, 3),
         "unit": "GDOF/s",
+        # ratio vs the reference architecture, at the CSR-feasible p8 32x32
+        # config: device apply rate there / pinned host-CSR rate
         "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline_config": "p8_32x32 (device f32 vs pinned host CSR)",
+        "device_apply_p8_32x32_gdof_s": round(dev_rate_cmp, 3),
+        "csr_pinned_gdof_s": round(csr_rate, 4),
         "coupled_solve_p8_16x16_s": round(solve_wall, 2),
         "coupled_solve_u_anchor": round(u_anchor, 4),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--pin-csr" in sys.argv:
+        pin_csr_baseline()
+    else:
+        main()
