@@ -190,9 +190,23 @@ class BoussinesqMDA:
                  iprint: bool = True, device_krylov: bool = None,
                  forcing: float = 1e-3,
                  ptc_dt0: float = 0.1, ptc_growth: float = 3.0,
-                 ptc_dt_max: float = 1e12, ptc_forcing: float = 1e-2):
+                 ptc_dt_max: float = 1e12, ptc_forcing: float = 1e-2,
+                 precon: str = None):
         if mode not in ("GS", "NJ", "JNK", "PTC"):
             raise ValueError("Unknown method")  # parity: reference :93
+        if precon is None:
+            # JNK keeps the reference's LinearBlockJac structure ('bj');
+            # PTC (beyond-reference) defaults to the strictly stronger block
+            # Gauss-Seidel ('bgs'): the CD solve feeds the buoyancy
+            # correction into the NS block's RHS, capturing the T→NS
+            # coupling that dominates the coupled Jacobian at high Ra —
+            # without it, restarted GMRES stagnates once the
+            # pseudo-transient shift no longer dominates (observed: a
+            # ~1e-6 coupled-residual floor at Ra=1e5 P=8 32×32)
+            precon = "bgs" if mode == "PTC" else "bj"
+        if precon not in ("bj", "bgs"):
+            raise ValueError("precon must be 'bj' or 'bgs'")
+        self.precon_type = precon
         self.cd_comp = cd_comp
         self.ns_comp = ns_comp
         self.mode = mode
@@ -258,9 +272,19 @@ class BoussinesqMDA:
 
     def _block_jacobi(self, r: np.ndarray, mtol=None) -> np.ndarray:
         """One linear block-Jacobi sweep: each discipline inverts its own
-        Jacobian block (the reference's LinearBlockJac(maxiter=1))."""
+        Jacobian block (the reference's LinearBlockJac(maxiter=1)).
+        With ``precon_type='bgs'``, the block Gauss-Seidel variant: the CD
+        solve's dT feeds the buoyancy correction into the NS RHS (the
+        dominant T→NS off-diagonal block at high Ra)."""
+        from sem_tpu import operators as ops
+        from sem_tpu.interp import apply_transfer
+
         rT, ru, rv, rp = self._unpack(r)
         dT = self.cd_comp.solve_linear(rT, mtol=mtol)
+        if self.precon_type == "bgs":
+            ns_s = self.ns_comp.ns
+            dT_ns = apply_transfer(self.cd_comp.cd.grid, ns_s.grid, dT)
+            rv = rv + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid, dT_ns)
         du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol)
         return self._pack(dT, du, dv, dp)
 
@@ -332,6 +356,14 @@ class BoussinesqMDA:
                 dT, _ = cd_s._update_jit(
                     rT, cd_u, cd_v, jnp.zeros(Ncd, rT.dtype),
                     jnp.asarray(mtol_pre_cd, rT.dtype), cd_sigma)
+                if self.precon_type == "bgs":
+                    # block Gauss-Seidel (T first): forward the buoyancy
+                    # coupling J_{v,T} = −(Gr/Re)·M into the NS RHS — the
+                    # dominant off-diagonal block at high Ra
+                    from sem_tpu import operators as ops
+                    dT_ns = apply_transfer(cd_s.grid, ns_s.grid, dT)
+                    rv = rv + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid,
+                                                                dT_ns)
                 du, dv, dp = ns_s._update_jit(
                     ru, rv, rp, ns_ul, ns_vl, ns_jac,
                     jnp.zeros(Nns, ru.dtype),
@@ -343,9 +375,12 @@ class BoussinesqMDA:
 
         return jax.jit(cycle)
 
-    def _fgmres_device(self, b, atol=None):
+    def _fgmres_device(self, b, atol=None, maxiter=None):
         """Drive on-device FGMRES windows until converged (warm-started).
 
+        :param maxiter: optional per-call iteration cap overriding
+            ``gmres_maxiter`` (the PTC Δt controller bounds per-step linear
+            effort with it)
         :return: ``(x, iterations, ok, resnorm)`` — ``resnorm`` is the last
             recurrence residual (callers distinguishing "solver hit its
             target" from "stall-accepted far above it", e.g. the PTC Δt
@@ -404,7 +439,7 @@ class BoussinesqMDA:
             else:
                 flat_windows = 0
             prev_res = res
-            if total >= self.gmres_maxiter:
+            if total >= (self.gmres_maxiter if maxiter is None else maxiter):
                 return np.asarray(x), total, False, float(info.resnorm)
 
     # --------------------------- modes --------------------------- #
@@ -525,6 +560,7 @@ class BoussinesqMDA:
         Pe = self.cd_comp.cd._Pe
         Re = self.ns_comp.ns._Re
         dt = self.ptc_dt0
+        dt_ceil = self.ptc_dt_max  # trust-region ceiling (see below)
         F = self._residuals(s)
         norm = np.linalg.norm(F)
         for k in range(1, self.maxiter + 1):
@@ -534,15 +570,21 @@ class BoussinesqMDA:
                 return s
             self._linearize(s, sigma_cd=Pe / dt, sigma_ns=Re / dt)
             atol_k = max(self.atol_gmres, self.ptc_forcing * norm)
+            # bound per-step linear effort: a hard tangent system (large Δt)
+            # returns a partial step instead of grinding; the resulting
+            # smaller contraction feeds back through SER, so Δt equilibrates
+            # against what the coupled solver can crack cheaply
+            step_maxiter = min(self.gmres_maxiter, 12 * self.restart)
             if self.device_krylov:
-                dx, iters, _, lin_res = self._fgmres_device(-F, atol=atol_k)
+                dx, iters, _, lin_res = self._fgmres_device(
+                    -F, atol=atol_k, maxiter=step_maxiter)
             else:
                 precon = lambda r: self._block_jacobi(r,
                                                       mtol=self.mtol_precon)
                 dx, iters, _ = _fgmres(
                     self._apply_linear, precon, -F,
                     atol=atol_k, restart=self.restart,
-                    maxiter=self.gmres_maxiter,
+                    maxiter=step_maxiter,
                     callback=(lambda it, res: print(
                         f"   PTC GMRES: {it}\t{res}")
                         if self.iprint else None))
@@ -564,19 +606,25 @@ class BoussinesqMDA:
             # walls on an inconsistent initial state and the interior
             # residual jumps; a monotone line search deadlocks there):
             # Δt_{k+1} = Δt_k · ‖F_k‖/‖F_{k+1}‖, growth- and shrink-capped.
-            # Exception: when the LINEAR solve stalled far above its target
-            # (lin_failed) and the step went nowhere, HALVE Δt — restoring
-            # preconditioner dominance beats holding a Δt whose tangent
-            # systems the Krylov solver cannot crack.  Slow-but-real
-            # progress with a healthy linear solve is the normal transient
-            # march and must NOT shrink Δt (a smaller Δt only slows the
-            # march further — observed as a Δt death spiral).
+            # Δt trust region: a failed linear solve (stalled far above its
+            # target) marks the current Δt band uncrackable — cut Δt 4× when
+            # the step also went nowhere, and hold a ceiling at half the
+            # failing Δt so SER does not immediately re-enter the bad band
+            # (observed: without the ceiling the controller oscillates,
+            # re-growing into failure every few steps near a near-singular
+            # large-Δt Jacobian).  The ceiling relaxes 1.5× per healthy
+            # step.  Slow-but-real progress with a healthy linear solve is
+            # the normal transient march and must NOT shrink Δt.
             ratio = norm / max(norm_new, 1e-300)
+            if lin_failed:
+                dt_ceil = max(dt / 2.0, 1e-10)
             if lin_failed and norm_new > 0.95 * norm:
-                dt = max(dt * 0.5, 1e-10)
+                dt = max(dt * 0.25, 1e-10)
             else:
+                if not lin_failed:
+                    dt_ceil = min(dt_ceil * 1.5, self.ptc_dt_max)
                 dt = min(dt * min(max(ratio, 0.1), self.ptc_growth),
-                         self.ptc_dt_max)
+                         dt_ceil)
             s, F, norm = s_new, F_new, norm_new
         raise RuntimeError(
             f"Boussinesq PTC: no convergence in {self.maxiter} iterations")

@@ -5,9 +5,15 @@ ladder (P4 → P8 → P16 at fixed 64×64 NS / 32×32 CD elements), runs it once
 to compile, then reports the cached solve wall-clock and the de Vahl Davis
 velocity anchor.  Target (BASELINE.json): < 10 s to 1e-8 rms on one v5e.
 
-Usage:  python study/north_star.py [--direct]
+Usage:  python study/north_star.py [--direct] [--ttfs]
         --direct additionally times the single-level p16 solve for the
         continuation-speedup comparison (~1.5-2 min extra)
+        --ttfs   times the user-facing end-to-end path instead: ONE
+        ``solve_continued`` call including all solver construction
+        (build work overlaps the coarse solves in a worker thread;
+        eigendecompositions and spectral constants disk-cached), i.e.
+        time-to-first-solution of a warm process (VERDICT r2 #5 target:
+        < 15 s total)
 """
 import os
 import sys
@@ -57,6 +63,20 @@ def ladder(levels):
 
 
 def main():
+    if "--ttfs" in sys.argv:
+        from sem_tpu.coupling.boussinesq import solve_continued
+        t0 = time.perf_counter()
+        cd, ns, mda, s = solve_continued(1.0, 1.0, levels=2, P_cd=16,
+                                         P_ns=16, **KW)
+        wall = time.perf_counter() - t0
+        u_anchor = float(jnp.max(jnp.abs(s.u))) * 1e3 * 0.71
+        r = mda._residuals(s)
+        print(f"TTFS: end-to-end p16 64x64 build+solve {wall:.1f}s "
+              f"(target <15 s warm); u_max*RePr = {u_anchor:.4f}; "
+              f"|r| = {float(np.linalg.norm(r)):.2e} "
+              f"<= atol {mda.atol_nonlin:.2e}", flush=True)
+        return
+
     levels = build_levels()
     t0 = time.perf_counter()
     s, _ = ladder(levels)
