@@ -293,6 +293,7 @@ class NavierStokesSolver:
         self._pin = int(self.N / 2)
         pin_mask = np.zeros(self.N, dtype=bool)
         pin_mask[self._pin] = True
+        self._mask_pin_np = pin_mask
         self._mask_pin = jnp.asarray(pin_mask)
 
         # exact masked-Laplacian inverse for the velocity blocks
@@ -412,7 +413,11 @@ class NavierStokesSolver:
         mass_diag = jnp.asarray(grid.mass_diag, dtype=dtype)
         want_hist = "LGMRES_iter" in self._iprint
         Ngx, Ngy = grid.Ngx, grid.Ngy
-        mb_or_pin = jnp.asarray(np.asarray(mb) | np.asarray(pin))
+        # combine the HOST copies of the masks: np.asarray on the device
+        # arrays is a device→host readback, and a 1M-element bool readback
+        # through the axon tunnel measured 100-460 s (!) — it silently
+        # dominated p16 solver construction
+        mb_or_pin = jnp.asarray(self._mask_bound_np | self._mask_pin_np)
 
         def edges_get(Rg):
             """Boundary-ring values in W/E/S/N edge-slice order (static
