@@ -90,10 +90,13 @@ class ConvectionDiffusionSolver:
         for side, val in (("W", T_W), ("E", T_E), ("S", T_S), ("N", T_N)):
             if val is not None:
                 dirichlet[self.grid.side_mask(side)] = val
+        # host-resident closure constants (device arrays closed over by
+        # jitted code are read back from the device at lowering — minutes
+        # per program over the axon tunnel; see the NS solver note)
         self._mask_dir_np = ~np.isnan(dirichlet)
-        self._mask_dir = jnp.asarray(self._mask_dir_np)
-        self._dirichlet = jnp.asarray(np.where(self._mask_dir_np, dirichlet,
-                                               0.0), dtype=dtype)
+        self._mask_dir = self._mask_dir_np
+        self._dirichlet = np.where(self._mask_dir_np, dirichlet,
+                                   0.0).astype(dtype)
 
         # exact masked-diffusion inverse (preconditioner)
         self._fdm = FDM2D(self.grid,
@@ -131,7 +134,7 @@ class ConvectionDiffusionSolver:
                 + ops.apply_stiffness(grid, T)
             return constrain(jnp.where(mask, T - dirichlet, r))
 
-        md = jnp.asarray(grid.mass_diag)
+        md = grid.mass_diag  # host constant (see mask note above)
 
         def dres(dT, u, v, jdu, jdv, du, dv, sigma):
             """Tangent residual; jdu/jdv are the (diagonal) velocity

@@ -286,15 +286,21 @@ class NavierStokesSolver:
             m = self.grid.side_mask(side)
             dir_u[m] = du_
             dir_v[m] = dv_
+        # Closure constants stay HOST-resident (NumPy): a device array
+        # closed over by a jitted function is read BACK from the device at
+        # MLIR lowering time (mlir._array_mlir_constant_handler -> ._value),
+        # and one such readback of a 1M-element mask through the axon tunnel
+        # measured minutes — per program, per process.  NumPy constants
+        # lower straight from host memory.
         self._mask_bound_np = ~np.isnan(dir_u)
-        self._mask_bound = jnp.asarray(self._mask_bound_np)
-        self._dirichlet_u = jnp.asarray(np.nan_to_num(dir_u), dtype=dtype)
-        self._dirichlet_v = jnp.asarray(np.nan_to_num(dir_v), dtype=dtype)
+        self._mask_bound = self._mask_bound_np
+        self._dirichlet_u = np.nan_to_num(dir_u).astype(dtype)
+        self._dirichlet_v = np.nan_to_num(dir_v).astype(dtype)
         self._pin = int(self.N / 2)
         pin_mask = np.zeros(self.N, dtype=bool)
         pin_mask[self._pin] = True
         self._mask_pin_np = pin_mask
-        self._mask_pin = jnp.asarray(pin_mask)
+        self._mask_pin = pin_mask
 
         # exact masked-Laplacian inverse for the velocity blocks
         self._fdm = FDM2D(self.grid, dirichlet_x=(True, True),
@@ -369,7 +375,7 @@ class NavierStokesSolver:
             every downstream tangent apply (XLA, Pallas kernel, device JNK)
             picks it up through the existing ``jac`` runtime arguments with
             no signature change."""
-            md_ = jnp.asarray(grid.mass_diag, u.dtype)
+            md_ = jnp.asarray(grid.mass_diag.astype(np.dtype(dtype)))
             return (Re * ops.conv_diag_x(grid, u) + sigma * md_,
                     Re * ops.conv_diag_y(grid, u),
                     Re * ops.conv_diag_x(grid, v),
@@ -410,14 +416,14 @@ class NavierStokesSolver:
                          restart=self._restart_velo,
                          maxiter=self._maxiter_velo, precon=pc)
 
-        mass_diag = jnp.asarray(grid.mass_diag, dtype=dtype)
+        mass_diag = grid.mass_diag.astype(dtype)
         want_hist = "LGMRES_iter" in self._iprint
         Ngx, Ngy = grid.Ngx, grid.Ngy
         # combine the HOST copies of the masks: np.asarray on the device
         # arrays is a device→host readback, and a 1M-element bool readback
         # through the axon tunnel measured 100-460 s (!) — it silently
         # dominated p16 solver construction
-        mb_or_pin = jnp.asarray(self._mask_bound_np | self._mask_pin_np)
+        mb_or_pin = self._mask_bound_np | self._mask_pin_np
 
         def edges_get(Rg):
             """Boundary-ring values in W/E/S/N edge-slice order (static
@@ -445,18 +451,18 @@ class NavierStokesSolver:
             stiffness rows (unaffected by the velocity shift), so ``Kbb_inv``
             stays exact.
             """
-            Zx = jnp.asarray(self._spec["Zx"].astype(xdtype))
-            Zy = jnp.asarray(self._spec["Zy"].astype(xdtype))
+            Zx = self._spec["Zx"].astype(xdtype)
+            Zy = self._spec["Zy"].astype(xdtype)
             esum_np = self._spec["esum"]
             scale = float(np.max(np.abs(esum_np)))
             # only the exact (constant ⊗ constant) null mode is cut — the
             # pressure pin handles constants; the near-spurious tail is the
             # point of the method and must NOT be truncated
             nz_np = np.abs(esum_np) > 1e-14 * scale
-            nz = jnp.asarray(nz_np)
-            esafe = jnp.asarray(np.where(nz_np, esum_np, 1.0).astype(xdtype))
-            ksum = jnp.asarray(self._spec["ksum"].astype(xdtype))
-            Kbb_inv = jnp.asarray(self._spec["Kbb_inv"].astype(xdtype))
+            nz = nz_np
+            esafe = np.where(nz_np, esum_np, 1.0).astype(xdtype)
+            ksum = self._spec["ksum"].astype(xdtype)
+            Kbb_inv = self._spec["Kbb_inv"].astype(xdtype)
             hi = ops.mm_precision(xdtype)
 
             def apply_(rp, sigma):
