@@ -373,7 +373,8 @@ class BoussinesqMDA:
             return fgmres(mv, b, x0=x0, atol=atol, restart=self.restart,
                           maxiter=window, precon=pc)
 
-        return jax.jit(cycle)
+        from sem_tpu.utils.hoist import jit_hoisted
+        return jit_hoisted(cycle)  # constants out of the executable
 
     def _fgmres_device(self, b, atol=None, maxiter=None):
         """Drive on-device FGMRES windows until converged (warm-started).

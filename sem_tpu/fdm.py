@@ -141,7 +141,8 @@ class FDM2D:
         bm[np.ix_(ix, iy)] = False
         self._bmask = bm
 
-        self._solve_jit = jax.jit(self._solve_impl)
+        from sem_tpu.utils.hoist import jit_hoisted
+        self._solve_jit = jit_hoisted(self._solve_impl)
 
     # ------------------------------------------------------------------ #
     def _solve_impl(self, r: jax.Array, sigma=None) -> jax.Array:

@@ -196,13 +196,16 @@ class ConvectionDiffusionSolver:
                          restart=restart, maxiter=2 * restart + 5,
                          return_hist=want_hist)
 
-        self._residual_jit = jax.jit(residual)
-        self._dres_jit = jax.jit(dres)
-        self._jac_diags_jit = jax.jit(jac_diags)
-        self._update_jit = jax.jit(update_f64)
-        self._cres_jit = jax.jit(cd_resid)
-        self._pc32_jit = jax.jit(lambda r32, s32: fdm(r32, sigma=s32))
-        self._gmres32_jit = jax.jit(cd_gmres32)
+        # large closure constants hoisted to runtime arguments (see
+        # sem_tpu.utils.hoist: executable size / per-process load time)
+        from sem_tpu.utils.hoist import jit_hoisted
+        self._residual_jit = jit_hoisted(residual)
+        self._dres_jit = jit_hoisted(dres)
+        self._jac_diags_jit = jit_hoisted(jac_diags)
+        self._update_jit = jit_hoisted(update_f64)
+        self._cres_jit = jit_hoisted(cd_resid)
+        self._pc32_jit = jit_hoisted(lambda r32, s32: fdm(r32, sigma=s32))
+        self._gmres32_jit = jit_hoisted(cd_gmres32)
 
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, T, u, v):

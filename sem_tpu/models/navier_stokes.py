@@ -687,14 +687,21 @@ class NavierStokesSolver:
                          maxiter=2 * self._restart + 5,
                          return_hist=want_hist)
 
-        self._residual_jit = jax.jit(residual)
-        self._jac_diags_jit = jax.jit(jac_diags)
-        self._dres_jit = jax.jit(dres)
-        self._update_jit = jax.jit(update if self._linear_solver == "uzawa"
-                                   else update_coupled_f64)
-        self._cres_jit = jax.jit(coupled_resid)
-        self._pc32_jit = jax.jit(coupled_pc32)
-        self._gmres32_jit = jax.jit(coupled_gmres32)
+        # jit_hoisted keeps the large solver constants (operator matrices,
+        # spectral/FDM transforms, boundary-ring inverse) OUT of the
+        # executables: they are passed as device-resident runtime arguments
+        # instead of HLO literals, shrinking the serialized programs ~10x
+        # (per-process executable loads through the accelerator tunnel
+        # dominated warm start-up; see sem_tpu.utils.hoist)
+        from sem_tpu.utils.hoist import jit_hoisted
+        self._residual_jit = jit_hoisted(residual)
+        self._jac_diags_jit = jit_hoisted(jac_diags)
+        self._dres_jit = jit_hoisted(dres)
+        self._update_jit = jit_hoisted(update if self._linear_solver ==
+                                       "uzawa" else update_coupled_f64)
+        self._cres_jit = jit_hoisted(coupled_resid)
+        self._pc32_jit = jit_hoisted(coupled_pc32)
+        self._gmres32_jit = jit_hoisted(coupled_gmres32)
 
     def _update_coupled_mixed(self, res_u, res_v, res_cont, dp0, mtol):
         """Host-level f64 iterative refinement around jitted f32 GMRES.

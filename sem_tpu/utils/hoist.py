@@ -1,0 +1,65 @@
+"""jit with closure constants hoisted to runtime arguments.
+
+The solver megakernels close over large host constants (spectral-Schur
+transforms, the boundary-ring inverse, FDM eigenbases, assembled 1D
+operators).  Under plain ``jax.jit`` those are embedded in the program as
+HLO literals, which on this machine has two heavy costs measured at the
+north-star size (p16 64×64):
+
+* the serialized executables balloon (~150 MB per Krylov megakernel), so
+  even a persistent-compilation-cache HIT takes ~60 s per program per
+  process to load through the accelerator tunnel — "warm" end-to-end runs
+  spent 10+ minutes re-loading executables;
+* any constant that is a *device* array is read back device→host at MLIR
+  lowering time (minutes per mask over the tunnel) and destabilizes the
+  cache key.
+
+``jit_hoisted(fun)`` removes the literals wholesale: the function is traced
+once per argument structure with ``jax.make_jaxpr`` (all closure arrays
+land in ``jaxpr.consts``), the consts are ``device_put`` once per process,
+and the compiled program evaluates the jaxpr with the consts passed as a
+leading pytree argument.  No per-function signature plumbing: callers keep
+calling the wrapper exactly like the jitted original.
+
+Nesting composes: calling a hoisted function inside another traced function
+re-embeds its consts as the outer trace's constants, and hoisting the
+outermost entry point lifts them again — so only the outermost jit of each
+dispatch path needs to be hoisted.
+"""
+from __future__ import annotations
+
+import jax
+from jax import tree_util
+
+__all__ = ["jit_hoisted"]
+
+
+def jit_hoisted(fun):
+    """Wrap ``fun`` like ``jax.jit(fun)`` but with every array constant the
+    trace closes over hoisted out of the executable and passed as a runtime
+    argument (device-resident, transferred once per process)."""
+    cache = {}
+
+    def wrapper(*args):
+        flat, in_tree = tree_util.tree_flatten(args)
+        key = (in_tree, tuple((getattr(a, "shape", ()),
+                               str(getattr(a, "dtype", type(a))))
+                              for a in flat))
+        entry = cache.get(key)
+        if entry is None:
+            closed, out_shape = jax.make_jaxpr(fun, return_shape=True)(*args)
+            out_tree = tree_util.tree_structure(out_shape)
+            consts = [jax.device_put(c) for c in closed.consts]
+            jaxpr = closed.jaxpr
+
+            def run(consts_, flat_):
+                out = jax.core.eval_jaxpr(jaxpr, consts_, *flat_)
+                return tree_util.tree_unflatten(out_tree, out)
+
+            entry = (jax.jit(run), consts)
+            cache[key] = entry
+        jf, consts = entry
+        return jf(consts, flat)
+
+    wrapper.__wrapped__ = fun
+    return wrapper
