@@ -576,7 +576,16 @@ class BoussinesqMDA:
             # smaller contraction feeds back through SER, so Δt equilibrates
             # against what the coupled solver can crack cheaply
             step_maxiter = min(self.gmres_maxiter, 12 * self.restart)
-            if self.device_krylov:
+            # Device-fused windows bundle 10 outer iterations WITH their
+            # nested discipline solves into one dispatch; at high Ra on
+            # ≳100k-DOF grids the convection-dominated inner solves stretch
+            # a window past the accelerator watchdog (observed: "TPU worker
+            # crashed" killing Ra=1e6 P=8 32×32 runs mid-step).  The host
+            # path's dispatches are individually bounded (the NS block
+            # solves run their chunked mixed-precision path), so PTC
+            # prefers it beyond small sizes.
+            use_device = self.device_krylov and self.DOF <= 150_000
+            if use_device:
                 dx, iters, _, lin_res = self._fgmres_device(
                     -F, atol=atol_k, maxiter=step_maxiter)
             else:
