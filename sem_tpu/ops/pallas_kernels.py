@@ -90,9 +90,14 @@ def _kernel(nby: int):
         C = wc_ref.shape[1]
         # x-direction: one banded matmul produces K1x- and G1x-rows at once
         wband = jnp.concatenate([wm1_ref[:], wc_ref[:], wp1_ref[:]], axis=0)
+        # accumulate in f32 always (Mosaic requires 32-bit matmul
+        # accumulators); HIGHEST precision is an f32-input technique —
+        # bf16 inputs use the native bf16-multiply/f32-accumulate mode
+        prec = (jax.lax.Precision.HIGHEST if wband.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         xL = jnp.dot(bx_ref[0], wband,
-                     preferred_element_type=wband.dtype,
-                     precision=jax.lax.Precision.HIGHEST)   # (2B, C)
+                     preferred_element_type=jnp.float32,
+                     precision=prec)                        # (2B, C)
         Kx = xL[:_B]
         Gx = xL[_B:]
 
@@ -100,11 +105,11 @@ def _kernel(nby: int):
         # per-tile results — in-kernel scatter is not lowerable on TPU)
         W = wc_ref[:]
         ys = [jnp.dot(W[:, j * _B:(j + 3) * _B], by_ref[j],
-                      preferred_element_type=W.dtype,       # (B, 2B)
-                      precision=jax.lax.Precision.HIGHEST)
+                      preferred_element_type=jnp.float32,   # (B, 2B)
+                      precision=prec)
               for j in range(nby)]
-        zleft = jnp.zeros((_B, _B), W.dtype)
-        zright = jnp.zeros((_B, C - (nby + 1) * _B), W.dtype)
+        zleft = jnp.zeros((_B, _B), jnp.float32)
+        zright = jnp.zeros((_B, C - (nby + 1) * _B), jnp.float32)
         Ky = jnp.concatenate([zleft] + [y[:, :_B] for y in ys] + [zright],
                              axis=1)
         Gy = jnp.concatenate([zleft] + [y[:, _B:] for y in ys] + [zright],
@@ -114,8 +119,9 @@ def _kernel(nby: int):
         m1y = m1y_ref[:]          # (1, C)
         coef = coef_ref[0, 0]
         K2d = Kx * m1y + m1x * Ky
-        out_ref[:] = K2d + coef * (u_ref[:] * (Gx * m1y)
-                                   + v_ref[:] * (m1x * Gy))
+        out_ref[:] = (K2d + coef * (u_ref[:] * (Gx * m1y)
+                                    + v_ref[:] * (m1x * Gy))
+                      ).astype(out_ref.dtype)
     return kernel
 
 
@@ -205,16 +211,18 @@ def _coupled_kernel():
         m1x = m1x_ref[:]          # (B, 1)
         m1y = m1y_ref[:]          # (1, B)
         coef = coef_ref[0, 0]
-        hi = jax.lax.Precision.HIGHEST
+        hi = (jax.lax.Precision.HIGHEST if uc_ref.dtype == jnp.float32
+              else jax.lax.Precision.DEFAULT)
 
         def field_parts(rm1, rc, rp1, rjm, rjp):
             wcol = jnp.concatenate([rm1[:], rc[:], rp1[:]], axis=0)  # (3B,B)
+            # f32 accumulation (Mosaic requires 32-bit matmul accumulators)
             xL = jnp.dot(bx_ref[0], wcol,
-                         preferred_element_type=wcol.dtype,
+                         preferred_element_type=jnp.float32,
                          precision=hi)                               # (2B,B)
             wrow = jnp.concatenate([rjm[:], rc[:], rjp[:]], axis=1)  # (B,3B)
             yR = jnp.dot(wrow, by_ref[0, 0],
-                         preferred_element_type=wrow.dtype,
+                         preferred_element_type=jnp.float32,
                          precision=hi)                               # (B,2B)
             Kx, Gx = xL[:_B], xL[_B:]
             Ky, Gy = yR[:, :_B], yR[:, _B:]
@@ -234,11 +242,11 @@ def _coupled_kernel():
         drv = Kv + coef * (ul * gxv + vl * gyv) \
             + jyx_ref[:] * du + jyy_ref[:] * dv + gyp
         drc = gxu + gyv
-        one = jnp.ones((), du.dtype)
-        dru_ref[:] = mb * du + (one - mb) * dru
-        drv_ref[:] = mb * dv + (one - mb) * drv
+        one = jnp.ones((), jnp.float32)
+        dru_ref[:] = (mb * du + (one - mb) * dru).astype(dru_ref.dtype)
+        drv_ref[:] = (mb * dv + (one - mb) * drv).astype(drv_ref.dtype)
         # artificial ∂ₙp=0 rows carry the pressure-stiffness rows
-        drc_ref[:] = mb * Kp + (one - mb) * drc
+        drc_ref[:] = (mb * Kp + (one - mb) * drc).astype(drc_ref.dtype)
     return kernel
 
 
