@@ -214,7 +214,8 @@ def main():
         "csr_pinned_gdof_s": round(csr_rate, 4),
         "coupled_solve_p8_16x16_s": round(solve_wall, 2),
         "coupled_solve_u_anchor": round(u_anchor, 4),
-    }))
+    }), flush=True)  # flush: the TPU plugin can hard-exit the process at
+    #                  teardown, discarding block-buffered stdout
 
 
 if __name__ == "__main__":
