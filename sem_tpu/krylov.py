@@ -81,7 +81,7 @@ def _mgs_sweep_live(V, w, k, cchunk, hi):
     Returns ``(w_orthogonalized, h)`` with ``h`` shaped ``(mp,)``.
     """
     mp, n = V.shape
-    dtype = V.dtype
+    dtype = w.dtype  # working dtype (V may be stored lower-precision)
     nlive = k // cchunk + 1
 
     def body(j, carry):
@@ -89,8 +89,8 @@ def _mgs_sweep_live(V, w, k, cchunk, hi):
         row0 = j * cchunk
         Vj = lax.dynamic_slice(V, (row0, jnp.zeros((), row0.dtype)),
                                (cchunk, n))
-        hj = jnp.matmul(Vj, w, precision=hi)
-        w = w - jnp.matmul(Vj.T, hj, precision=hi)
+        hj = jnp.matmul(Vj, w, precision=hi).astype(dtype)
+        w = w - jnp.matmul(Vj.T, hj, precision=hi).astype(dtype)
         h = lax.dynamic_update_slice(h, hj, (row0,))
         return w, h
 
@@ -169,7 +169,8 @@ def _solve_small_triangular(H, g, kk, m, dtype):
 
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
           atol: float, restart: int = 30, maxiter: int = 1000,
-          precon: Optional[Callable] = None, return_hist: bool = False):
+          precon: Optional[Callable] = None, return_hist: bool = False,
+          basis_dtype=None):
     """Restarted GMRES(m) with right preconditioning.
 
     :param matvec:  linear operator ``A(x)`` (must be traceable)
@@ -185,6 +186,11 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         the reference's ``'LGMRES_iter'`` per-iteration prints (reference
         ConvectionDiffusion_Solver.py:139-144), recorded on device and
         printable after the dispatch
+    :param basis_dtype: storage dtype of the Krylov basis ``V`` (default:
+        the dtype of ``b``).  ``jnp.bfloat16`` halves the HBM traffic of the
+        (bandwidth-bound) orthogonalization sweeps at the cost of a ~1e-3
+        attainable-residual floor — only sensible for loose-tolerance inner
+        solves; arithmetic stays in the working dtype
     :return: (x, KrylovInfo) or (x, KrylovInfo, hist)
     """
     if precon is None:
@@ -192,6 +198,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     m = int(restart)
     n = b.shape[0]
     dtype = b.dtype
+    bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
 
@@ -209,8 +216,8 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     def new_cycle(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((mp, n), dtype)
-        V = V.at[0].set(r / jnp.maximum(beta, eps_tiny))
+        V = jnp.zeros((mp, n), bdt)
+        V = V.at[0].set((r / jnp.maximum(beta, eps_tiny)).astype(bdt))
         H = jnp.zeros((m + 1, m), dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
         cs = jnp.ones(m, dtype)   # identity rotations in unused slots
@@ -231,14 +238,14 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
          hist) = state
 
-        w = matvec(precon(V[k]))
+        w = matvec(precon(V[k].astype(dtype)))
         # live-chunk block-MGS + DGKS-selective resweep (shared helper) —
         # these bandwidth-bound basis sweeps are the dominant per-iteration
         # cost at SEM sizes
         hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
         w, h, hk1 = _orthogonalize(V, w, k, cchunk, hi)
         h = h[:m + 1].at[k + 1].set(hk1)
-        V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
+        V = V.at[k + 1].set((w / jnp.maximum(hk1, eps_tiny)).astype(bdt))
 
         h, cs, sn, g, res = _givens_update(h, cs, sn, g, k, m, eps_tiny)
         H = H.at[:, k].set(h)

@@ -198,7 +198,7 @@ class NavierStokesSolver:
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
                  schur_precon: str = "spectral", forcing: float = 1e-3,
-                 dtype=jnp.float64):
+                 basis_dtype=None, dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
         :param v_W/v_E/u_S/u_N: tangential Dirichlet wall values
@@ -238,6 +238,10 @@ class NavierStokesSolver:
             Ŝ⁻¹ = M⁻¹ F_p A_p⁻¹ with A_p the FDM pseudo-inverse of the
             Neumann pressure Laplacian and F_p the convection-diffusion
             operator
+        :param basis_dtype: storage dtype of the f32 chunks' Krylov basis
+            (``None`` = f32; ``jnp.bfloat16`` halves orthogonalization HBM
+            traffic at the cost of a higher attainable chunk floor —
+            measured trade, see BASELINE.md)
         """
         self._iprint = list(iprint)
         self._Re = float(Re)
@@ -268,6 +272,13 @@ class NavierStokesSolver:
         # refinement loop restores full f64 accuracy ('coupled' path only)
         self._mixed_precision = bool(mixed_precision)
         self._max_refine = int(max_refine)
+        # storage dtype of the f32 chunks' Krylov basis (None = f32).
+        # bfloat16 halves the HBM traffic of the bandwidth-bound
+        # orthogonalization sweeps; arithmetic stays f32 and the f64
+        # refinement loop restores full accuracy — the cost is a higher
+        # per-chunk attainable floor (more refinement passes).  Measured
+        # before adoption; see BASELINE.md "Krylov basis storage".
+        self._basis_dtype = basis_dtype
         self._dtype = dtype
 
         self.grid = Grid2D(P, N_ex, N_ey, L_x, L_y)
@@ -685,6 +696,7 @@ class NavierStokesSolver:
             return gmres(lambda q: pc32(mv32(q), sigma32), rp32, x0=x032,
                          atol=atol32, restart=self._restart,
                          maxiter=2 * self._restart + 5,
+                         basis_dtype=self._basis_dtype,
                          return_hist=want_hist)
 
         # jit_hoisted keeps the large solver constants (operator matrices,
