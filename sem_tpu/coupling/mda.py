@@ -89,6 +89,8 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
     while it < maxiter:
         r = b - matvec(x)
         beta = np.linalg.norm(r)
+        if not np.isfinite(beta):
+            return x, it, False     # inner solve diverged/NaN — fail fast
         if beta <= atol:
             return x, it, True
         m = restart
@@ -127,6 +129,18 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
                 callback(it, res)
             if res <= atol or it >= maxiter:
                 break
+        # Arnoldi breakdown guard: a stagnated inner solve can return
+        # (near-)dependent directions, zeroing a diagonal of the rotated H
+        # (observed with a degraded low-precision inner chunk); solve only
+        # the leading nonsingular block instead of raising LinAlgError,
+        # and report a stall when no usable direction remains.
+        diag = np.abs(np.diag(H[:k_used, :k_used]))
+        tol_d = max(1e-14 * diag.max(initial=0.0), 1e-300)
+        bad = np.nonzero(diag <= tol_d)[0]
+        if bad.size:
+            k_used = int(bad[0])
+            if k_used == 0:
+                return x, it, False
         y = np.linalg.solve(np.triu(H[:k_used, :k_used]), g[:k_used])
         x = x + Z[:k_used].T @ y
         if abs(g[k_used]) <= atol:
