@@ -560,17 +560,28 @@ class NavierStokesSolver:
             hi = ops.mm_precision(xdtype)
 
             from sem_tpu.ops import (apply_coupled_system_pallas,
-                                     coupled_pallas_wanted)
+                                     apply_coupled_system_pallas_sharded,
+                                     coupled_pallas_wanted,
+                                     sharded_pallas_mesh)
             use_pallas = coupled_pallas_wanted(grid, xdtype)
+            # under an active multi-device mesh, route to the shard_map-
+            # wrapped kernel (manual SPMD + ICI halo exchange) — a bare
+            # pallas_call would be replicated by GSPMD
+            pallas_mesh = sharded_pallas_mesh(grid, xdtype)
 
             def mv(q):
-                if use_pallas:
+                if use_pallas or pallas_mesh is not None:
                     # fused block-banded Pallas kernel: all six banded 1D
                     # operator products + combination + row masking in one
                     # pass (sem_tpu.ops.pallas_kernels._coupled_kernel)
-                    out = apply_coupled_system_pallas(
-                        grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
-                        jnp.asarray(Re, xdtype))
+                    if pallas_mesh is not None:
+                        out = apply_coupled_system_pallas_sharded(
+                            grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
+                            jnp.asarray(Re, xdtype), mesh=pallas_mesh)
+                    else:
+                        out = apply_coupled_system_pallas(
+                            grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
+                            jnp.asarray(Re, xdtype))
                     drc = jnp.where(pin, q[2 * N:], out[2 * N:])
                     return jnp.concatenate([out[:2 * N], drc])
                 # Fused coupled matvec: ALL twelve 1D operator products

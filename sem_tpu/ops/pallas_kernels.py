@@ -36,7 +36,10 @@ from sem_tpu.mesh import Grid2D
 from sem_tpu import operators as ops
 
 __all__ = ["apply_system_pallas", "apply_system_best",
-           "apply_coupled_system_pallas"]
+           "apply_coupled_system_pallas",
+           "apply_system_pallas_sharded",
+           "apply_coupled_system_pallas_sharded",
+           "sharded_pallas_mesh"]
 
 _B = 128  # row/column block size (≥ the 1D operator half-band for P ≤ 63)
 
@@ -326,6 +329,227 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
     return jnp.concatenate([unpad(dru), unpad(drv), unpad(drc)])
 
 
+# ---------------------------------------------------------------------------
+# shard_map-wrapped variants: the fused kernels under a multi-device mesh
+# (ROADMAP r4 #4 / VERDICT r2 next-round #3).  A bare ``pallas_call`` inside
+# a GSPMD-partitioned program is replicated by XLA (silent all-gather of every
+# operand per matvec), so multi-chip execution drops to "manual" SPMD: the
+# padded row-block dimension is sharded over the 1D mesh, each device
+# exchanges ONE _B-row halo block per side with its neighbors over ICI
+# (``lax.ppermute`` — edge devices receive zeros, matching the global zero
+# padding), and runs the single-chip kernel on its local row strip.  The
+# per-row-block banded constants (bx, m1x) shard along with the rows; the
+# column-direction constants (by, m1y) replicate.  The row-block count is
+# padded up to a multiple of the device count (all-zero blocks produce zero
+# rows — wasted only when N_e·P+1 divides badly; choose N_ex accordingly on
+# real pods).
+
+def _sharded_nbx(grid: Grid2D, ndev: int) -> int:
+    nbx = -(-grid.Ngx // _B)
+    return -(-nbx // ndev) * ndev
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_constants_sharded(grid: Grid2D, dtype_name: str, nbx_sh: int):
+    """Banded constants with the row-block axis zero-padded to ``nbx_sh``."""
+    bx, by, m1x, m1y, nbx, nby, Cx, Cy = _banded_constants(grid, dtype_name)
+    dt = np.dtype(dtype_name)
+    bxs = np.zeros((nbx_sh,) + bx.shape[1:], dt)
+    bxs[:nbx] = bx
+    m1xs = np.zeros((nbx_sh * _B, 1), dt)
+    m1xs[:m1x.shape[0]] = m1x
+    return bxs, by, m1xs, m1y, nby, Cy
+
+
+def _halo_perms(ndev: int):
+    fwd = [(i, i + 1) for i in range(ndev - 1)]   # my top halo = prev's tail
+    bwd = [(i + 1, i) for i in range(ndev - 1)]   # my bottom halo = next's head
+    return fwd, bwd
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "mesh", "interpret"))
+def apply_system_pallas_sharded(grid: Grid2D, u, v, w, coef, *,
+                                mesh, interpret: bool = False):
+    """:func:`apply_system_pallas` under manual SPMD over a 1D ``mesh``.
+
+    Row strips (x-direction domain decomposition, matching
+    ``parallel.sharding.field_sharding``) with a one-block ICI halo exchange
+    per apply — the multi-chip replacement for the gated-off bare kernel.
+    """
+    dt = w.dtype
+    ndev = int(mesh.devices.size)
+    ax = mesh.axis_names[0]
+    nbx_sh = _sharded_nbx(grid, ndev)
+    bx, by, m1x, m1y, nby, Cy = _banded_constants_sharded(grid, dt.name,
+                                                          nbx_sh)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    nbx_loc = nbx_sh // ndev
+    Rsh = nbx_sh * _B
+
+    def pad_field(f):
+        F = f.reshape(Ngx, Ngy)
+        # rows: pad to the sharded block count, NO halo (built per-shard);
+        # cols: one halo block left, zero-fill right — as the bare kernel
+        return jnp.pad(F, ((0, Rsh - Ngx), (_B, Cy - _B - Ngy)))
+
+    Wp = pad_field(w)
+    Up = pad_field(u.astype(dt))
+    Vp = pad_field(v.astype(dt))
+    coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
+    fwd, bwd = _halo_perms(ndev)
+
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    row_spec = lambda off: pl.BlockSpec(
+        (_B, Cy), lambda i: (i32(i + off), i32(0)),
+        memory_space=pltpu.VMEM)
+
+    def local(Wl, Ul, Vl, bxl, byl, m1xl, m1yl, cl):
+        def halo(F):
+            top = jax.lax.ppermute(F[-_B:], ax, fwd)
+            bot = jax.lax.ppermute(F[:_B], ax, bwd)
+            return jnp.concatenate([top, F, bot], axis=0)
+
+        Wh = halo(Wl)
+        # u, v enter only through the center row spec — zero row pads suffice
+        zrow = lambda F: jnp.pad(F, ((_B, _B), (0, 0)))
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                _kernel(nby),
+                grid=(nbx_loc,),
+                in_specs=[
+                    row_spec(0), row_spec(1), row_spec(2),
+                    row_spec(1), row_spec(1),
+                    pl.BlockSpec((1, 2 * _B, 3 * _B),
+                                 lambda i: (i32(i), i32(0), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, 1), lambda i: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((_B, Cy),
+                                       lambda i: (i32(i), i32(0)),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nbx_loc * _B, Cy), dt),
+                interpret=interpret,
+            )(Wh, Wh, Wh, zrow(Ul), zrow(Vl), bxl, byl, m1xl, m1yl, cl)
+
+    from jax.sharding import PartitionSpec as P
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None), P(ax, None),
+                  P(ax, None, None), P(None, None, None),
+                  P(ax, None), P(None, None), P(None, None)),
+        out_specs=P(ax, None),
+        check_vma=False,
+    )(Wp, Up, Vp, jnp.asarray(bx), jnp.asarray(by),
+      jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
+
+    return out[:Ngx, _B:_B + Ngy].reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "mesh", "interpret"))
+def apply_coupled_system_pallas_sharded(grid: Grid2D, q, ul, vl, jac, mb,
+                                        coef, *, mesh,
+                                        interpret: bool = False):
+    """:func:`apply_coupled_system_pallas` under manual SPMD over ``mesh``.
+
+    Same row-strip decomposition and halo exchange as
+    :func:`apply_system_pallas_sharded`; only the three Krylov fields
+    (du, dv, dp) need neighbor halos — the frozen linearization fields enter
+    the kernel through center-block specs only and are zero-row-padded.
+    """
+    dt = q.dtype
+    ndev = int(mesh.devices.size)
+    ax = mesh.axis_names[0]
+    nbx_sh = _sharded_nbx(grid, ndev)
+    bx, by, m1x, m1y, nby, Cy = _banded_constants_sharded(grid, dt.name,
+                                                          nbx_sh)
+    Ngx, Ngy, N = grid.Ngx, grid.Ngy, grid.N
+    nbx_loc = nbx_sh // ndev
+    Rsh = nbx_sh * _B
+
+    def pad_field(f):
+        F = f.reshape(Ngx, Ngy)
+        return jnp.pad(F, ((0, Rsh - Ngx), (_B, Cy - _B - Ngy)))
+
+    Up, Vp, Pp = (pad_field(q[k * N:(k + 1) * N]) for k in range(3))
+    Ulp = pad_field(ul.astype(dt))
+    Vlp = pad_field(vl.astype(dt))
+    jxx, jxy, jyx, jyy = (pad_field(j.astype(dt)) for j in jac)
+    mbp = pad_field(mb.astype(dt))
+    coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
+    by4 = by.reshape(nby, 1, 3 * _B, 2 * _B)
+    m1y_t = np.ascontiguousarray(m1y.reshape(1, -1)[:, _B:])
+    fwd, bwd = _halo_perms(ndev)
+
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+
+    def spec(di, dj):
+        return pl.BlockSpec((_B, _B),
+                            lambda i, j: (i32(i + di), i32(j + dj)),
+                            memory_space=pltpu.VMEM)
+
+    halo5 = [spec(0, 1), spec(1, 1), spec(2, 1),
+             spec(1, 0), spec(1, 2)]
+    ctr = spec(1, 1)
+
+    def local(Ub, Vb, Pb, Ulb, Vlb, jxxb, jxyb, jyxb, jyyb, mbb,
+              bxl, by4l, m1xl, m1yl, cl):
+        def halo(F):
+            top = jax.lax.ppermute(F[-_B:], ax, fwd)
+            bot = jax.lax.ppermute(F[:_B], ax, bwd)
+            return jnp.concatenate([top, F, bot], axis=0)
+
+        zrow = lambda F: jnp.pad(F, ((_B, _B), (0, 0)))
+        Uh, Vh, Ph = halo(Ub), halo(Vb), halo(Pb)
+        ctrs = [zrow(x) for x in (Ulb, Vlb, jxxb, jxyb, jyxb, jyyb, mbb)]
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                _coupled_kernel(),
+                grid=(nbx_loc, nby),
+                in_specs=(halo5 * 3) + [ctr] * 7 + [
+                    pl.BlockSpec((1, 2 * _B, 3 * _B),
+                                 lambda i, j: (i32(i), i32(0), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 3 * _B, 2 * _B),
+                                 lambda i, j: (i32(j), i32(0), i32(0),
+                                               i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, 1), lambda i, j: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, _B), lambda i, j: (i32(0), i32(j)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[pl.BlockSpec((_B, _B),
+                                        lambda i, j: (i32(i), i32(j)),
+                                        memory_space=pltpu.VMEM)] * 3,
+                out_shape=[jax.ShapeDtypeStruct((nbx_loc * _B, nby * _B),
+                                                dt)] * 3,
+                interpret=interpret,
+            )(Uh, Uh, Uh, Uh, Uh, Vh, Vh, Vh, Vh, Vh,
+              Ph, Ph, Ph, Ph, Ph, *ctrs, bxl, by4l, m1xl, m1yl, cl)
+
+    from jax.sharding import PartitionSpec as P
+    dru, drv, drc = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax, None),) * 10 + (
+            P(ax, None, None), P(None, None, None, None),
+            P(ax, None), P(None, None), P(None, None)),
+        out_specs=(P(ax, None),) * 3,
+        check_vma=False,
+    )(Up, Vp, Pp, Ulp, Vlp, jxx, jxy, jyx, jyy, mbp,
+      jnp.asarray(bx), jnp.asarray(by4), jnp.asarray(m1x),
+      jnp.asarray(m1y_t), coef_arr)
+
+    def unpad(o):
+        return o[:Ngx, :Ngy].reshape(-1)
+
+    return jnp.concatenate([unpad(dru), unpad(drv), unpad(drc)])
+
+
 # empirical crossover on v5e: below this the per-program fixed costs of the
 # banded kernel exceed the saved matmul work (P=8 32x32 = 66k: XLA wins;
 # p=16 64x64 = 1.05M: Pallas is ~1.8x faster)
@@ -356,12 +580,31 @@ def pallas_wanted(grid: Grid2D, dtype) -> bool:
             and not _multichip_mesh_active())
 
 
+def sharded_pallas_mesh(grid: Grid2D, dtype):
+    """The active mesh, when the manual-SPMD Pallas variants should be used:
+    a 1D multi-device mesh on TPU with a Pallas-sized f32/bf16 grid.
+    Returns ``None`` otherwise (callers fall back to the XLA path, whose
+    GSPMD sharding propagation is tested in tests/test_sharding.py)."""
+    if (dtype == jnp.float64 or grid.N < _PALLAS_MIN_N
+            or jax.default_backend() != "tpu"):
+        return None
+    from sem_tpu.parallel.sharding import active_mesh
+    mesh = active_mesh()
+    if mesh is None or mesh.devices.size <= 1 or len(mesh.axis_names) != 1:
+        return None
+    return mesh
+
+
 def apply_system_best(grid: Grid2D, u, v, w, coef):
     """Dispatch the fused system apply to the faster backend for the size:
     the Pallas block-banded kernel for large f32/bf16 grids on single-chip
-    TPU, the XLA two-matmul path otherwise."""
+    TPU, the shard_map-wrapped kernel under a multi-device mesh, the XLA
+    two-matmul path otherwise."""
     if pallas_wanted(grid, w.dtype):
         return apply_system_pallas(grid, u, v, w, coef)
+    mesh = sharded_pallas_mesh(grid, w.dtype)
+    if mesh is not None:
+        return apply_system_pallas_sharded(grid, u, v, w, coef, mesh=mesh)
     return ops.apply_system(grid, u, v, w, coef)
 
 
