@@ -70,8 +70,16 @@ def assemble(grid: Grid2D, A_e: np.ndarray):
         i2 = np.broadcast_to(g[:, :, None, None, :, :, None, None], A_e.shape)
         i3 = np.broadcast_to(g[:, :, None, None, None, None, :, :], A_e.shape)
         nz = A_e != 0
-        return {"coords": np.stack([i1[nz], i2[nz], i3[nz]]),
-                "data": A_e[nz], "shape": (grid.N,) * 3}
+        coords = np.stack([i1[nz], i2[nz], i3[nz]])
+        data, shape = A_e[nz], (grid.N,) * 3
+        try:
+            # reference-parity return type (reference SEM.py:139-145 returns
+            # a PyData sparse.COO); duplicate coordinates sum, as there
+            import sparse  # optional dependency
+
+            return sparse.COO(coords, data, shape=shape)
+        except ImportError:
+            return {"coords": coords, "data": data, "shape": shape}
     raise ValueError("element array must be 4-, 6-, or 8-dimensional")
 
 

@@ -42,6 +42,10 @@ class KrylovInfo(NamedTuple):
     #                        progress over a full restart cycle) before
     #                        reaching atol — common when atol is set below
     #                        the f64 noise floor of a nested/inexact operator
+    resweeps: jax.Array = 0  # int32: iterations whose DGKS test triggered a
+    #                        second orthogonalization sweep (each one doubles
+    #                        that iteration's basis HBM traffic — the
+    #                        dominant per-iteration cost at SEM sizes)
 
 
 def _identity(x):
@@ -97,17 +101,25 @@ def _mgs_sweep_live(V, w, k, cchunk, hi):
     return lax.fori_loop(0, nlive, body, (w, jnp.zeros(mp, dtype)))
 
 
-def _orthogonalize(V, w, k, cchunk, hi):
+# default DGKS reorthogonalization threshold η: resweep when the first sweep
+# cancelled more than (1-η) of ‖w‖, i.e. ‖w₁‖ < η·‖w₀‖.  1/√2 is the
+# classical Daniel-Gragg-Kaufman-Stewart constant ("twice is enough" with
+# certainty); smaller η trades basis-sweep traffic for orthogonality margin —
+# see BASELINE.md for the measured η sensitivity of the p16 coupled solve.
+DGKS_ETA = 0.7071
+
+
+def _orthogonalize(V, w, k, cchunk, hi, eta=DGKS_ETA):
     """Block-MGS with a DGKS-selective second sweep.
 
     The second sweep runs only when the first one cancelled most of ``‖w‖``
-    (n1 < η·n0, η = 1/√2 — the classical Daniel-Gragg-Kaufman-Stewart test):
-    under a strong preconditioner successive Krylov vectors stay well
-    separated and the skip saves half the basis traffic; under weak
+    (n1 < η·n0): under a strong preconditioner successive Krylov vectors stay
+    well separated and the skip saves half the basis traffic; under weak
     preconditioning it degrades gracefully to CGS2.
 
-    Returns ``(w, h, hk1)`` — the orthogonalized vector, projection
-    coefficients ``(mp,)``, and its remaining norm.
+    Returns ``(w, h, hk1, resw)`` — the orthogonalized vector, projection
+    coefficients ``(mp,)``, its remaining norm, and whether the second sweep
+    ran (int32 0/1).
     """
     n0 = jnp.linalg.norm(w)
     w, h1 = _mgs_sweep_live(V, w, k, cchunk, hi)
@@ -118,8 +130,9 @@ def _orthogonalize(V, w, k, cchunk, hi):
         w2, h2 = _mgs_sweep_live(V, w1, k, cchunk, hi)
         return w2, h1_ + h2
 
-    w, h = lax.cond(n1 < 0.7071 * n0, _resweep, lambda a: a, (w, h1))
-    return w, h, jnp.linalg.norm(w)
+    resw = n1 < eta * n0
+    w, h = lax.cond(resw, _resweep, lambda a: a, (w, h1))
+    return w, h, jnp.linalg.norm(w), resw.astype(jnp.int32)
 
 
 def _givens_update(h, cs, sn, g, k, m, eps_tiny):
@@ -170,7 +183,7 @@ def _solve_small_triangular(H, g, kk, m, dtype):
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
           atol: float, restart: int = 30, maxiter: int = 1000,
           precon: Optional[Callable] = None, return_hist: bool = False,
-          basis_dtype=None):
+          basis_dtype=None, dgks_eta: float = None):
     """Restarted GMRES(m) with right preconditioning.
 
     :param matvec:  linear operator ``A(x)`` (must be traceable)
@@ -191,10 +204,14 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         (bandwidth-bound) orthogonalization sweeps at the cost of a ~1e-3
         attainable-residual floor — only sensible for loose-tolerance inner
         solves; arithmetic stays in the working dtype
+    :param dgks_eta: DGKS reorthogonalization threshold (None =
+        :data:`DGKS_ETA`); each triggered resweep doubles that iteration's
+        basis traffic, reported in ``KrylovInfo.resweeps``
     :return: (x, KrylovInfo) or (x, KrylovInfo, hist)
     """
     if precon is None:
         precon = _identity
+    eta = DGKS_ETA if dgks_eta is None else float(dgks_eta)
     m = int(restart)
     n = b.shape[0]
     dtype = b.dtype
@@ -226,24 +243,26 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
     x, V, H, cs, sn, g, beta0 = new_cycle(x0)
 
-    # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist)
+    # State: (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist,
+    #         nresweep)
     state = (x, V, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
              beta0 <= atol, beta0, jnp.asarray(False),
-             jnp.full(maxiter, beta0, dtype))
+             jnp.full(maxiter, beta0, dtype), jnp.int32(0))
 
     def cond(state):
         return ~state[9]
 
     def body(state):
         (x, V, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
-         hist) = state
+         hist, nresweep) = state
 
         w = matvec(precon(V[k].astype(dtype)))
         # live-chunk block-MGS + DGKS-selective resweep (shared helper) —
         # these bandwidth-bound basis sweeps are the dominant per-iteration
         # cost at SEM sizes
         hi = _mm_precision(dtype)  # TPU: f32 matmuls default to bf16
-        w, h, hk1 = _orthogonalize(V, w, k, cchunk, hi)
+        w, h, hk1, resw = _orthogonalize(V, w, k, cchunk, hi, eta)
+        nresweep = nresweep + resw
         h = h[:m + 1].at[k + 1].set(hk1)
         V = V.at[k + 1].set((w / jnp.maximum(hk1, eps_tiny)).astype(bdt))
 
@@ -290,11 +309,11 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
                 & ((kk >= m) | stall_in)
             done_new = (beta <= atol) | (it >= maxiter) | stall_new
             return (xn, Vn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
-                    done_new, beta, stall_new, hist)
+                    done_new, beta, stall_new, hist, nresweep)
 
         def cont(_):
             return (x, V, H, cs, sn, g, k + 1, it, res, done, cycle_res,
-                    stalled, hist)
+                    stalled, hist, nresweep)
 
         return lax.cond(end_cycle, finish, cont, None)
 
@@ -302,7 +321,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     x, it, res, stalled, hist = (state[0], state[7], state[8], state[11],
                                  state[12])
     info = KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
-                      stalled=stalled)
+                      stalled=stalled, resweeps=state[13])
     if return_hist:
         return x, info, hist
     return x, info
@@ -310,7 +329,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
 def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
            atol, restart: int = 20, maxiter: int = 1000,
-           precon: Callable):
+           precon: Callable, dgks_eta: float = None):
     """Flexible GMRES(m): right preconditioner may vary per application.
 
     The coupled-MDA Krylov solver (reference Boussinesq_SequentialCoupler.py
@@ -337,6 +356,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
     hi = _mm_precision(dtype)
+    eta = DGKS_ETA if dgks_eta is None else float(dgks_eta)
     cchunk = min(_CHUNK, m + 1)
     mp = -(-(m + 1) // cchunk) * cchunk
 
@@ -357,21 +377,23 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     x, V, Z, H, cs, sn, g, beta0 = new_cycle(x0)
     hist0 = jnp.full(maxiter, beta0, dtype)
 
-    # state: (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled, hist)
+    # state: (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
+    #         hist, nresweep)
     state = (x, V, Z, H, cs, sn, g, jnp.int32(0), jnp.int32(0), beta0,
-             beta0 <= atol, beta0, jnp.asarray(False), hist0)
+             beta0 <= atol, beta0, jnp.asarray(False), hist0, jnp.int32(0))
 
     def cond(state):
         return ~state[10]
 
     def body(state):
         (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
-         hist) = state
+         hist, nresweep) = state
 
         z = precon(V[k])
         w = matvec(z)
         Z = Z.at[k].set(z)
-        w, h, hk1 = _orthogonalize(V, w, k, cchunk, hi)
+        w, h, hk1, resw = _orthogonalize(V, w, k, cchunk, hi, eta)
+        nresweep = nresweep + resw
         h = h[:m + 1].at[k + 1].set(hk1)
         V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
 
@@ -400,11 +422,11 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
                 & ((kk >= m) | stall_in)
             done_new = (beta <= atol) | (it >= maxiter) | stall_new
             return (xn, Vn, Zn, Hn, csn, snn, gn, jnp.int32(0), it, beta,
-                    done_new, beta, stall_new, hist)
+                    done_new, beta, stall_new, hist, nresweep)
 
         def cont(_):
             return (x, V, Z, H, cs, sn, g, k + 1, it, res, done, cycle_res,
-                    stalled, hist)
+                    stalled, hist, nresweep)
 
         return lax.cond(end_cycle, finish, cont, None)
 
@@ -412,7 +434,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     x, it, res, stalled, hist = (state[0], state[8], state[9], state[12],
                                  state[13])
     return x, KrylovInfo(converged=res <= atol, iterations=it, resnorm=res,
-                         stalled=stalled), hist
+                         stalled=stalled, resweeps=state[14]), hist
 
 
 def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
@@ -475,6 +497,7 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
     # looping).
     passes_cap = max_refine + 1
     chunk_iters_max = 0
+    total_resweeps = 0
     while passes < passes_cap:
         r = cres(x)
         rn = float(jnp.linalg.norm(r))
@@ -517,6 +540,7 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
         # about the new iterate and the next chunk starts fresh
         xin, info = gmres_chunk(rp, jnp.zeros_like(rp), atol_lp)
         total_it += int(info.iterations)
+        total_resweeps += int(info.resweeps)
         chunk_iters_max = max(chunk_iters_max, int(info.iterations), 1)
         passes_cap = max(max_refine + 1, -(-maxiter // chunk_iters_max))
         last_inner_floored = bool(info.stalled) or int(info.iterations) == 0
@@ -553,7 +577,8 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                       iterations=jnp.int32(total_it),
                       resnorm=jnp.asarray(rn_best, dtype),
                       stalled=jnp.asarray(bool(not converged
-                                               and genuine_plateau)))
+                                               and genuine_plateau)),
+                      resweeps=jnp.int32(total_resweeps))
     return x_best, info
 
 

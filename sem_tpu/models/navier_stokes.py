@@ -878,7 +878,8 @@ class NavierStokesSolver:
             status = ("converged" if bool(schur_info.converged)
                       else "stalled (roundoff plateau)")
             print(f"NavierStokes Schur GMRES: {status} in "
-                  f"{int(schur_info.iterations)} iterations with resnorm "
+                  f"{int(schur_info.iterations)} iterations "
+                  f"({int(schur_info.resweeps)} DGKS resweeps) with resnorm "
                   f"{float(schur_info.resnorm):.3e}")
         if "VELO_suc" in self._iprint or "LU_suc" in self._iprint:
             print(f"NavierStokes velocity solve: {int(velo_info.iterations)} "

@@ -1,0 +1,129 @@
+"""Krylov per-iteration economics on the north-star ladder (ROADMAP r4 #1).
+
+The p16 coupled f32 GMRES costs ~10.2 ms/it, decomposed (BASELINE.md) as
+pc 2.3 + matvec 0.8 + MGS sweep ~3.5 + DGKS resweep ~3.2 ms — the resweep
+doubles the bandwidth-bound basis traffic whenever it fires.  This harness
+measures, on the REAL ladder solve (not a synthetic worst case):
+
+  * per-level NS inner-f32 iteration and resweep counts
+    (``KrylovInfo.resweeps``),
+  * cached ladder wall-clock and convergence stats,
+
+under a configurable DGKS threshold η (``--eta``, default
+``krylov.DGKS_ETA``) and NS GMRES window (``--restart``, default auto) — the
+data behind the η/restart defaults.
+
+Usage:  python study/krylov_econ.py [--eta X] [--restart N] [--ra 1e3]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+from sem_tpu import krylov
+from sem_tpu.coupling.boussinesq import build_coupled
+from sem_tpu.coupling.mda import CoupledState
+from sem_tpu.interp import apply_transfer
+
+
+def instrument_ns(ns):
+    """Accumulate f32 inner iteration/resweep totals across _get_update."""
+    orig = ns._get_update
+    tot = {"calls": 0, "iters": 0, "resweeps": 0}
+
+    def wrapped(*a, **k):
+        out = orig(*a, **k)
+        info = ns.last_schur_info
+        tot["calls"] += 1
+        tot["iters"] += int(info.iterations)
+        tot["resweeps"] += int(info.resweeps)
+        return out
+
+    ns._get_update = wrapped
+    return tot
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eta", type=float, default=None,
+                    help="DGKS resweep threshold (default krylov.DGKS_ETA)")
+    ap.add_argument("--restart", type=int, default=None,
+                    help="NS GMRES window (default: auto-sized)")
+    ap.add_argument("--ra", type=float, default=1e3)
+    args = ap.parse_args()
+
+    if args.eta is not None:
+        krylov.DGKS_ETA = args.eta
+    if args.restart is not None:
+        # build_coupled does not forward an NS restart — inject the override
+        # at the constructor level for this experiment
+        import sem_tpu.models.navier_stokes as nsmod
+        orig_init = nsmod.NavierStokesSolver.__init__
+
+        def patched(self, *a, **k):
+            k.setdefault("restart", args.restart)
+            return orig_init(self, *a, **k)
+
+        nsmod.NavierStokesSolver.__init__ = patched
+
+    print(f"config: eta={krylov.DGKS_ETA} restart={args.restart or 'auto'} "
+          f"Ra={args.ra:g}", flush=True)
+
+    KW = dict(Re=1e3, Ra=args.ra, Pr=0.71,
+              N_ex_cd=32, N_ey_cd=32, N_ex_ns=64, N_ey_ns=64,
+              mode="JNK", mtol_nonlin=1e-8, iprint=False)
+
+    levels = {}
+    for P in (4, 8, 16):
+        t0 = time.perf_counter()
+        cd, ns, mda = build_coupled(1.0, 1.0, P_cd=P, P_ns=P, **KW)
+        levels[P] = (cd, ns, mda, instrument_ns(ns))
+        print(f"build P={P}: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    def ladder(tag):
+        s = None
+        prev = None
+        for P in (4, 8, 16):
+            cd, ns, mda, tot = levels[P]
+            mda.cd_comp.iter_count_solve = mda.ns_comp.iter_count_solve = 0
+            it0, rs0 = tot["iters"], tot["resweeps"]
+            if s is not None:
+                cd0, ns0 = prev
+                s = CoupledState(T=apply_transfer(cd0.grid, cd.grid, s.T),
+                                 u=apply_transfer(ns0.grid, ns.grid, s.u),
+                                 v=apply_transfer(ns0.grid, ns.grid, s.v),
+                                 p=apply_transfer(ns0.grid, ns.grid, s.p))
+            t0 = time.perf_counter()
+            s = mda.solve(s)
+            wall = time.perf_counter() - t0
+            its = tot["iters"] - it0
+            rs = tot["resweeps"] - rs0
+            frac = rs / its if its else 0.0
+            print(f"  [{tag}] P={P}: {wall:.2f}s stats={mda.stats.as_list()} "
+                  f"NS f32 iters={its} resweeps={rs} ({100 * frac:.0f}%)",
+                  flush=True)
+            prev = (cd, ns)
+        return s, mda
+
+    t0 = time.perf_counter()
+    ladder("compile")
+    print(f"solve 1 (incl compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    s, mda = ladder("cached")
+    wall = time.perf_counter() - t0
+    u_anchor = float(jnp.max(jnp.abs(s.u))) * 1e3 * 0.71
+    r = mda._residuals(s)
+    print(f"RESULT eta={krylov.DGKS_ETA} restart={args.restart or 'auto'}: "
+          f"ladder {wall:.2f}s; u_max*RePr={u_anchor:.4f}; "
+          f"|r|={float(np.linalg.norm(r)):.2e} "
+          f"(atol {mda.atol_nonlin:.2e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

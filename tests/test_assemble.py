@@ -65,6 +65,33 @@ def test_assemble_vector(grid):
     np.testing.assert_allclose(out, grid.multiplicity)
 
 
+def test_assemble_rank3(grid):
+    """8-d element arrays assemble to the duplicate-summed rank-3 tensor
+    (reference SEM.py:139-145); returns a PyData ``sparse.COO`` when that
+    package is importable, else an equivalent COO-triple dict."""
+    P1 = grid.P + 1
+    A_e = RNG.standard_normal((grid.N_ex, grid.N_ey) + (P1,) * 6)
+    out = asm.assemble(grid, A_e)
+
+    g = grid.gidx.reshape(grid.N_ex, grid.N_ey, P1, P1)
+    i1 = np.broadcast_to(g[:, :, :, :, None, None, None, None], A_e.shape)
+    i2 = np.broadcast_to(g[:, :, None, None, :, :, None, None], A_e.shape)
+    i3 = np.broadcast_to(g[:, :, None, None, None, None, :, :], A_e.shape)
+    dense = np.zeros((grid.N,) * 3)
+    np.add.at(dense, (i1.reshape(-1), i2.reshape(-1), i3.reshape(-1)),
+              A_e.reshape(-1))
+
+    try:
+        import sparse
+        assert isinstance(out, sparse.COO)
+        got = out.todense()
+    except ImportError:
+        assert out["shape"] == (grid.N,) * 3
+        got = np.zeros((grid.N,) * 3)
+        np.add.at(got, tuple(out["coords"]), out["data"])
+    np.testing.assert_allclose(got, dense, atol=1e-12)
+
+
 def test_assemble_shape_validation(grid):
     with pytest.raises(ValueError):
         asm.assemble(grid, np.zeros((1, 1, 2, 2)))

@@ -88,6 +88,29 @@ def test_gmres_maxiter_flags_nonconvergence():
     assert bool(info.stalled) or int(info.iterations) == 8
 
 
+def test_gmres_dgks_eta_controls_resweeps():
+    """The DGKS threshold bounds the resweep count: η→∞-like (1.0+) resweeps
+    every iteration, η=0 never does, and both still converge on a
+    well-conditioned system (orthogonality loss only costs iterations);
+    ``KrylovInfo.resweeps`` reports the count."""
+    n = 60
+    A = 10.0 * np.eye(n) + RNG.standard_normal((n, n)) / np.sqrt(n)
+    x_true = RNG.standard_normal(n)
+    b = A @ x_true
+    Aj = jnp.asarray(A)
+
+    x1, i1 = gmres(lambda v: Aj @ v, jnp.asarray(b), atol=1e-10,
+                   restart=20, maxiter=300, dgks_eta=2.0)
+    assert int(i1.resweeps) == int(i1.iterations)
+    x0, i0 = gmres(lambda v: Aj @ v, jnp.asarray(b), atol=1e-10,
+                   restart=20, maxiter=300, dgks_eta=0.0)
+    assert int(i0.resweeps) == 0
+    for x, info in ((x1, i1), (x0, i0)):
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-7,
+                                   atol=1e-8)
+
+
 def test_cg_spd():
     A, x_true, b = _random_system(90, sym=True)
     Aj = jnp.asarray(A)
