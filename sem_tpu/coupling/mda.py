@@ -79,39 +79,62 @@ class CoupledState:
 
 
 def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
-    """Host-level flexible GMRES (NumPy orchestration, jitted callbacks)."""
-    n = b.shape[0]
-    x = np.zeros(n)
+    """Host-orchestrated flexible GMRES with DEVICE-resident vectors.
+
+    Control flow, the small Hessenberg recurrence, and the Givens rotations
+    run on the host (NumPy scalars); every n-sized object — basis ``V``,
+    flexible basis ``Z``, iterate, residual — stays on device, and the
+    callbacks receive/return device arrays.  Per iteration the host reads
+    back only the k+2 new Hessenberg scalars.  The earlier all-NumPy variant
+    moved the full coupled vector (~34 MB at the p16 north star) across the
+    accelerator tunnel TWICE per callback; measured, that traffic was ~60 s
+    of a 74 s direct p16 JNK solve — the jitted solver programs themselves
+    accounted for only ~14 s.
+
+    Orthogonalization is classical Gram-Schmidt with one unconditional
+    second sweep (CGS2): two (k, n) device matmuls per sweep, cheap at
+    outer-window sizes (k ≤ restart ≈ 20), and the outer basis must stay
+    orthogonal through the inexact/varying inner block solves.
+    """
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b)
     it = 0
-    normb = np.linalg.norm(b)
+    normb = float(jnp.linalg.norm(b))
     if normb <= atol:
         return x, 0, True
     while it < maxiter:
         r = b - matvec(x)
-        beta = np.linalg.norm(r)
+        beta = float(jnp.linalg.norm(r))
         if not np.isfinite(beta):
             return x, it, False     # inner solve diverged/NaN — fail fast
         if beta <= atol:
             return x, it, True
         m = restart
-        V = np.zeros((m + 1, n))
-        Z = np.zeros((m, n))
+        Vm = (r / beta)[None, :]    # device (k+1, n), grown per iteration
+        Zs = []                     # device flexible directions
         H = np.zeros((m + 1, m))
-        V[0] = r / beta
         g = np.zeros(m + 1)
         g[0] = beta
         cs = np.zeros(m)
         sn = np.zeros(m)
         k_used = 0
         for k in range(m):
-            Z[k] = precon(V[k])
-            w = matvec(Z[k])
-            for j in range(k + 1):
-                H[j, k] = V[j] @ w
-                w = w - H[j, k] * V[j]
-            H[k + 1, k] = np.linalg.norm(w)
-            if H[k + 1, k] > 1e-300:
-                V[k + 1] = w / H[k + 1, k]
+            z = precon(Vm[k])
+            w = matvec(z)
+            Zs.append(z)
+            h1 = jnp.matmul(Vm, w, precision=hi)
+            w = w - jnp.matmul(Vm.T, h1, precision=hi)
+            h2 = jnp.matmul(Vm, w, precision=hi)
+            w = w - jnp.matmul(Vm.T, h2, precision=hi)
+            hcol = np.asarray(jnp.concatenate(
+                [h1 + h2, jnp.linalg.norm(w)[None]]))  # k+2 scalars to host
+            H[:k + 2, k] = hcol
+            vk1 = (w / hcol[k + 1] if hcol[k + 1] > 1e-300
+                   else jnp.zeros_like(w))
+            Vm = jnp.concatenate([Vm, vk1[None, :]], axis=0)
             for j in range(k):
                 t1 = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
                 t2 = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
@@ -142,7 +165,8 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
             if k_used == 0:
                 return x, it, False
         y = np.linalg.solve(np.triu(H[:k_used, :k_used]), g[:k_used])
-        x = x + Z[:k_used].T @ y
+        x = x + jnp.matmul(jnp.stack(Zs[:k_used]).T, jnp.asarray(y),
+                           precision=hi)
         if abs(g[k_used]) <= atol:
             return x, it, True
     return x, it, False
@@ -255,8 +279,12 @@ class BoussinesqMDA:
 
     # ------------------------- plumbing ------------------------- #
     def _pack(self, rT, ru, rv, rp):
-        return np.concatenate([np.asarray(rT), np.asarray(ru),
-                               np.asarray(rv), np.asarray(rp)])
+        # DEVICE concatenation: the packed coupled vector stays on device —
+        # np.concatenate here forced a full device→host readback (~34 MB at
+        # p16) per residual/matvec/preconditioner call through the host JNK
+        # loop, which dominated large-grid solve wall-clock (see _fgmres)
+        return jnp.concatenate([jnp.asarray(rT), jnp.asarray(ru),
+                                jnp.asarray(rv), jnp.asarray(rp)])
 
     def _unpack(self, x):
         Ncd, Nns = self.N_cd, self.N_ns
@@ -264,7 +292,7 @@ class BoussinesqMDA:
                 jnp.asarray(x[Ncd + Nns:Ncd + 2 * Nns]),
                 jnp.asarray(x[Ncd + 2 * Nns:]))
 
-    def _residuals(self, s: CoupledState) -> np.ndarray:
+    def _residuals(self, s: CoupledState) -> jnp.ndarray:
         rT = self.cd_comp.apply_nonlinear(s.T, s.u, s.v)
         ru, rv, rp = self.ns_comp.apply_nonlinear(s.u, s.v, s.p, s.T)
         return self._pack(rT, ru, rv, rp)
@@ -427,7 +455,7 @@ class BoussinesqMDA:
             self.cd_comp.iter_count_solve += done
             self.ns_comp.iter_count_solve += done
             if bool(info.converged):
-                return np.asarray(x), total, True, float(info.resnorm)
+                return x, total, True, float(info.resnorm)
             if bool(info.stalled) or done == 0:
                 # roundoff plateau: accept the best iterate — the Newton
                 # loop's check on the TRUE nonlinear residual is
@@ -435,7 +463,7 @@ class BoussinesqMDA:
                 if self.iprint:
                     print(f"   JNK GMRES: stalled at resnorm "
                           f"{float(info.resnorm):.3e} (roundoff plateau)")
-                return np.asarray(x), total, True, float(info.resnorm)
+                return x, total, True, float(info.resnorm)
             # cross-window plateau: each dispatch is a bounded window that
             # can exit mid-cycle, before the in-cycle stall tests run — a
             # flat-lined solve would otherwise grind to gmres_maxiter
@@ -450,12 +478,12 @@ class BoussinesqMDA:
                     if self.iprint:
                         print(f"   JNK GMRES: stalled at resnorm "
                               f"{res:.3e} (cross-window plateau)")
-                    return np.asarray(x), total, True, res
+                    return x, total, True, res
             else:
                 flat_windows = 0
             prev_res = res
             if total >= (self.gmres_maxiter if maxiter is None else maxiter):
-                return np.asarray(x), total, False, float(info.resnorm)
+                return x, total, False, float(info.resnorm)
 
     # --------------------------- modes --------------------------- #
     def solve(self, s0: CoupledState = None) -> CoupledState:
@@ -481,7 +509,7 @@ class BoussinesqMDA:
     def _solve_gs(self, s: CoupledState) -> CoupledState:
         for k in range(1, self.maxiter + 1):
             s = self._gs_sweep(s)
-            norm = np.linalg.norm(self._residuals(s))
+            norm = float(jnp.linalg.norm(self._residuals(s)))
             self._print("GS", k, norm)
             self.stats.nonlinear_iters = k
             if norm <= self.atol_nonlin:
@@ -498,13 +526,13 @@ class BoussinesqMDA:
         # boussinesq.solve_continued) skips the sweep — re-solving the
         # disciplines at mtol_subsolve would *degrade* it.
         if warm:
-            norm0 = np.linalg.norm(self._residuals(s))
+            norm0 = float(jnp.linalg.norm(self._residuals(s)))
             if norm0 > self.mtol_subsolve * np.sqrt(self.DOF):
                 s = self._gs_sweep(s, mtol=self.mtol_subsolve)
         else:
             s = self._gs_sweep(s, mtol=self.mtol_subsolve)
         F = self._residuals(s)
-        norm = np.linalg.norm(F)
+        norm = float(jnp.linalg.norm(F))
         for k in range(1, self.maxiter + 1):
             self._print("NEWTON", k - 1, norm)
             if norm <= self.atol_nonlin:
@@ -577,7 +605,7 @@ class BoussinesqMDA:
         dt = self.ptc_dt0
         dt_ceil = self.ptc_dt_max  # trust-region ceiling (see below)
         F = self._residuals(s)
-        norm = np.linalg.norm(F)
+        norm = float(jnp.linalg.norm(F))
         for k in range(1, self.maxiter + 1):
             self._print("PTC", k - 1, f"{norm}\tdt={dt:.3g}")
             if norm <= self.atol_nonlin:
@@ -612,7 +640,7 @@ class BoussinesqMDA:
                     callback=(lambda it, res: print(
                         f"   PTC GMRES: {it}\t{res}")
                         if self.iprint else None))
-                lin_res = float(np.linalg.norm(-F - self._apply_linear(dx)))
+                lin_res = float(jnp.linalg.norm(-F - self._apply_linear(dx)))
             self.stats.gmres_iters += iters
             lin_failed = lin_res > 10 * atol_k
             s_new, F_new, norm_new = self._try_step(s, dx, 1.0)
@@ -657,4 +685,4 @@ class BoussinesqMDA:
         dT, du, dv, dp = self._unpack(alpha * dx)
         s_new = CoupledState(s.T + dT, s.u + du, s.v + dv, s.p + dp)
         F_new = self._residuals(s_new)
-        return s_new, F_new, np.linalg.norm(F_new)
+        return s_new, F_new, float(jnp.linalg.norm(F_new))

@@ -31,6 +31,47 @@ from sem_tpu.coupling.mda import CoupledState
 from sem_tpu.interp import apply_transfer
 
 
+def instrument_phases(ns, cd):
+    """Wall-clock attribution of the jitted solver programs (synchronized —
+    adds per-call block_until_ready, so totals are upper bounds)."""
+    import jax
+    phases = {}
+
+    def wrap(obj, name, key):
+        fn = getattr(obj, name)
+        phases[key] = {"t": 0.0, "n": 0}
+
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*a, **k))
+            phases[key]["t"] += time.perf_counter() - t0
+            phases[key]["n"] += 1
+            return out
+
+        setattr(obj, name, timed)
+
+    wrap(ns, "_cres_jit", "ns.cres_f64")
+    wrap(ns, "_pc32_jit", "ns.pc32")
+    wrap(ns, "_gmres32_jit", "ns.gmres32_chunk")
+    wrap(ns, "_residual_jit", "ns.residual_f64")
+    wrap(ns, "_jac_diags_jit", "ns.jac_diags_f64")
+    wrap(ns, "_dres_jit", "ns.dres_f64")
+    for name in ("_cres_jit", "_pc32_jit", "_gmres32_jit", "_residual_jit",
+                 "_jac_diags_jit", "_update_jit", "_dres_jit"):
+        if hasattr(cd, name):
+            wrap(cd, name, "cd." + name.strip("_"))
+    return phases
+
+
+def print_phases(phases, label):
+    tot = sum(p["t"] for p in phases.values())
+    parts = "  ".join(f"{k}={p['t']:.2f}s/{p['n']}x"
+                      for k, p in sorted(phases.items()))
+    print(f"phases [{label}] (sum {tot:.2f}s): {parts}", flush=True)
+    for p in phases.values():
+        p["t"], p["n"] = 0.0, 0
+
+
 def instrument_ns(ns):
     """Accumulate f32 inner iteration/resweep totals across _get_update."""
     orig = ns._get_update
@@ -55,6 +96,11 @@ def main():
     ap.add_argument("--restart", type=int, default=None,
                     help="NS GMRES window (default: auto-sized)")
     ap.add_argument("--ra", type=float, default=1e3)
+    ap.add_argument("--direct", action="store_true",
+                    help="single-level p16 solve from zero (no ladder): "
+                         "hundreds of f32 iterations — the clean ms/it "
+                         "signal (the warm-started ladder p16 level runs "
+                         "only ~36)")
     args = ap.parse_args()
 
     if args.eta is not None:
@@ -77,6 +123,31 @@ def main():
     KW = dict(Re=1e3, Ra=args.ra, Pr=0.71,
               N_ex_cd=32, N_ey_cd=32, N_ex_ns=64, N_ey_ns=64,
               mode="JNK", mtol_nonlin=1e-8, iprint=False)
+
+    if args.direct:
+        t0 = time.perf_counter()
+        cd, ns, mda = build_coupled(1.0, 1.0, P_cd=16, P_ns=16, **KW)
+        tot = instrument_ns(ns)
+        phases = instrument_phases(ns, cd)
+        print(f"build p16: {time.perf_counter() - t0:.1f}s", flush=True)
+        for tag in ("compile", "cached"):
+            tot.update(calls=0, iters=0, resweeps=0)
+            mda.cd_comp.iter_count_solve = mda.ns_comp.iter_count_solve = 0
+            t0 = time.perf_counter()
+            s = mda.solve()
+            wall = time.perf_counter() - t0
+            its, rs = tot["iters"], tot["resweeps"]
+            print(f"[{tag}] direct p16: {wall:.2f}s "
+                  f"stats={mda.stats.as_list()} NS f32 iters={its} "
+                  f"resweeps={rs} ({100 * rs / max(its, 1):.0f}%) "
+                  f"~{1e3 * wall / max(its, 1):.1f} ms/it-incl-overhead",
+                  flush=True)
+            print_phases(phases, tag)
+        r = mda._residuals(s)
+        print(f"RESULT-direct eta={krylov.DGKS_ETA}: {wall:.2f}s "
+              f"iters={its} resweeps={rs} "
+              f"|r|={float(np.linalg.norm(r)):.2e}", flush=True)
+        return
 
     levels = {}
     for P in (4, 8, 16):
