@@ -44,7 +44,9 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sem_tpu.coupling.components import (ConvectionDiffusionComponent,
                                          NavierStokesComponent)
@@ -78,33 +80,81 @@ class CoupledState:
         return CoupledState(self.T, self.u, self.v, self.p)
 
 
+@jax.jit
+def _fg_row(buf, vec, k):
+    """Write ``vec`` into row ``k`` of the padded device basis ``buf``.
+    ``k`` is a traced operand, so every iteration reuses ONE cached
+    executable (``buf.at[k]`` with a Python int would bake the index in and
+    compile/load a distinct tiny program per row over the tunnel)."""
+    return lax.dynamic_update_slice(buf, vec[None, :], (k, jnp.int32(0)))
+
+
+@jax.jit
+def _fg_read_row(buf, k):
+    """Read row ``k`` of the padded device basis (traced index — one
+    cached executable for all rows)."""
+    return lax.dynamic_slice(buf, (k, jnp.int32(0)), (1, buf.shape[1]))[0]
+
+
+@jax.jit
+def _fg_cgs2(V, w, k):
+    """One fixed-shape CGS2 step against the padded basis ``V`` (m+1, n).
+
+    Rows above ``k`` are zero, so they contribute nothing to the projection
+    and no masking is needed.  Returns the basis with the normalized new
+    vector written to row ``k+1`` and the ``m+2`` scalars
+    ``[h_0..h_m, ‖w‖]`` (projection entries past ``k`` are zero; the last
+    entry is the subdiagonal H[k+1,k]) — the only thing the host reads
+    back.
+    """
+    hi = lax.Precision.HIGHEST
+    h1 = jnp.matmul(V, w, precision=hi)
+    w = w - jnp.matmul(V.T, h1, precision=hi)
+    h2 = jnp.matmul(V, w, precision=hi)
+    w = w - jnp.matmul(V.T, h2, precision=hi)
+    nw = jnp.linalg.norm(w)
+    vk1 = jnp.where(nw > 1e-300, w / jnp.maximum(nw, 1e-300), 0.0)
+    V = lax.dynamic_update_slice(V, vk1[None, :], (k + 1, jnp.int32(0)))
+    return V, jnp.concatenate([h1 + h2, nw[None]])
+
+
+@jax.jit
+def _fg_update(x, Z, y):
+    """x + Zᵀy with ``y`` zero-padded to the full window (dead rows × 0)."""
+    return x + jnp.matmul(Z.T, y, precision=lax.Precision.HIGHEST)
+
+
 def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
     """Host-orchestrated flexible GMRES with DEVICE-resident vectors.
 
     Control flow, the small Hessenberg recurrence, and the Givens rotations
     run on the host (NumPy scalars); every n-sized object — basis ``V``,
-    flexible basis ``Z``, iterate, residual — stays on device, and the
-    callbacks receive/return device arrays.  Per iteration the host reads
-    back only the k+2 new Hessenberg scalars.  The earlier all-NumPy variant
-    moved the full coupled vector (~34 MB at the p16 north star) across the
-    accelerator tunnel TWICE per callback; measured, that traffic was ~60 s
-    of a 74 s direct p16 JNK solve — the jitted solver programs themselves
-    accounted for only ~14 s.
+    flexible basis ``Z``, iterate, residual — stays on device in
+    FIXED-SHAPE padded buffers, and the callbacks receive/return device
+    arrays.  Per iteration the host reads back only the new Hessenberg
+    scalars.  Two measured pathologies shaped this (direct p16 JNK solve):
+
+    * the earlier all-NumPy variant moved the full coupled vector (~34 MB
+      at p16) across the accelerator tunnel twice per callback — ~60 s of
+      a 74 s solve (the jitted solver programs accounted for ~14 s);
+    * a device variant that GREW the basis by concatenation presented new
+      shapes to every op-by-op dispatch each iteration — a fresh
+      compile+load over the tunnel per outer iteration (~13 s of the
+      remaining 22 s).  Padded buffers + traced row indices keep it to
+      three cached executables total.
 
     Orthogonalization is classical Gram-Schmidt with one unconditional
-    second sweep (CGS2): two (k, n) device matmuls per sweep, cheap at
-    outer-window sizes (k ≤ restart ≈ 20), and the outer basis must stay
-    orthogonal through the inexact/varying inner block solves.
+    second sweep (CGS2): two (m+1, n) device matmuls per sweep, cheap at
+    outer-window sizes (m ≈ 20), and the outer basis must stay orthogonal
+    through the inexact/varying inner block solves.
     """
-    import jax
-
-    hi = jax.lax.Precision.HIGHEST
     b = jnp.asarray(b)
     x = jnp.zeros_like(b)
     it = 0
     normb = float(jnp.linalg.norm(b))
     if normb <= atol:
         return x, 0, True
+    m = restart
     while it < maxiter:
         r = b - matvec(x)
         beta = float(jnp.linalg.norm(r))
@@ -112,9 +162,9 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
             return x, it, False     # inner solve diverged/NaN — fail fast
         if beta <= atol:
             return x, it, True
-        m = restart
-        Vm = (r / beta)[None, :]    # device (k+1, n), grown per iteration
-        Zs = []                     # device flexible directions
+        V = jnp.zeros((m + 1, b.shape[0]), b.dtype)
+        Z = jnp.zeros((m, b.shape[0]), b.dtype)
+        V = _fg_row(V, r / beta, jnp.int32(0))
         H = np.zeros((m + 1, m))
         g = np.zeros(m + 1)
         g[0] = beta
@@ -122,19 +172,16 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
         sn = np.zeros(m)
         k_used = 0
         for k in range(m):
-            z = precon(Vm[k])
+            kj = jnp.int32(k)
+            z = precon(_fg_read_row(V, kj))
             w = matvec(z)
-            Zs.append(z)
-            h1 = jnp.matmul(Vm, w, precision=hi)
-            w = w - jnp.matmul(Vm.T, h1, precision=hi)
-            h2 = jnp.matmul(Vm, w, precision=hi)
-            w = w - jnp.matmul(Vm.T, h2, precision=hi)
-            hcol = np.asarray(jnp.concatenate(
-                [h1 + h2, jnp.linalg.norm(w)[None]]))  # k+2 scalars to host
+            Z = _fg_row(Z, z, kj)
+            V, hfull = _fg_cgs2(V, w, kj)
+            hfull_np = np.asarray(hfull)        # m+2 scalars to host
+            # projections h_0..h_k, then the subdiagonal ‖w‖ (LAST entry —
+            # hfull_np[k+1] is the projection onto a still-zero basis row)
+            hcol = np.concatenate([hfull_np[:k + 1], hfull_np[-1:]])
             H[:k + 2, k] = hcol
-            vk1 = (w / hcol[k + 1] if hcol[k + 1] > 1e-300
-                   else jnp.zeros_like(w))
-            Vm = jnp.concatenate([Vm, vk1[None, :]], axis=0)
             for j in range(k):
                 t1 = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
                 t2 = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
@@ -165,8 +212,9 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
             if k_used == 0:
                 return x, it, False
         y = np.linalg.solve(np.triu(H[:k_used, :k_used]), g[:k_used])
-        x = x + jnp.matmul(jnp.stack(Zs[:k_used]).T, jnp.asarray(y),
-                           precision=hi)
+        ypad = np.zeros(m)
+        ypad[:k_used] = y
+        x = _fg_update(x, Z, jnp.asarray(ypad, b.dtype))
         if abs(g[k_used]) <= atol:
             return x, it, True
     return x, it, False

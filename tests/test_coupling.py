@@ -103,6 +103,37 @@ def test_unknown_mode_raises():
         build_coupled(1.0, 1.0, mode="XX")
 
 
+def test_host_fgmres_matches_scipy_restarted():
+    """The padded device-buffer host FGMRES must agree with SciPy's GMRES
+    under identical restart budgets (guards the Arnoldi index wiring: a
+    broken subdiagonal degrades it into a Richardson iteration that still
+    converges through the outer true-residual check — invisible end-to-end,
+    so pin the per-window algebra directly)."""
+    from scipy.sparse.linalg import gmres as sp_gmres
+    from sem_tpu.coupling.mda import _fgmres
+
+    rng = np.random.default_rng(0)
+    n = 200
+    A = np.eye(n) * 4 + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    atol = 1e-10 * np.linalg.norm(b)
+
+    x, it, ok = _fgmres(lambda v: jnp.asarray(A) @ v, lambda r: r,
+                        jnp.asarray(b), atol=atol, restart=10, maxiter=100)
+    assert ok
+    assert np.linalg.norm(A @ np.asarray(x) - b) <= 10 * atol
+    # well-conditioned system: a correct GMRES(10) needs only a few windows
+    assert it <= 40
+
+    # exact agreement with SciPy on a hard (stagnating) system: any wiring
+    # error in the Hessenberg/Givens recurrence breaks this to all digits
+    A2 = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    x_sp, _ = sp_gmres(A2, b, rtol=1e-10, restart=10, maxiter=3)
+    x2, _, _ = _fgmres(lambda v: jnp.asarray(A2) @ v, lambda r: r,
+                       jnp.asarray(b), atol=atol, restart=10, maxiter=30)
+    np.testing.assert_allclose(np.asarray(x2), x_sp, rtol=1e-9, atol=1e-12)
+
+
 def test_solve_continued_matches_direct():
     """p-continuation (coarse-order warm starts) reaches the same solution
     as a direct solve within the coupled tolerance, with strictly less
