@@ -98,6 +98,12 @@ def main():
         mda.solve()
         print(f"direct p16 (no continuation): {time.perf_counter()-t0:.1f}s "
               f"stats={mda.stats.as_list()}", flush=True)
+        # second in-process solve: programs warm, separates host-FGMRES
+        # orchestration cost from compile/load of the p16-sized programs
+        t0 = time.perf_counter()
+        mda.solve()
+        print(f"direct p16 (cached): {time.perf_counter()-t0:.1f}s "
+              f"stats={mda.stats.as_list()}", flush=True)
 
 
 if __name__ == "__main__":
