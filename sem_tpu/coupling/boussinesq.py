@@ -35,7 +35,7 @@ __all__ = ["run", "run_parallel", "build_coupled", "solve_continued",
 
 
 def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
-                    grids0=None, **kwargs):
+                    grids0=None, ladder=None, **kwargs):
     """p-continuation solve of the coupled Boussinesq problem.
 
     Solves the problem on a ladder of ``levels`` coarser polynomial orders
@@ -62,17 +62,26 @@ def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
         A state with mismatched sizes raises a clear error.
     :param grids0: optional ``(cd_grid, ns_grid)`` pair (``Grid2D``)
         describing the grids ``state0`` lives on
+    :param ladder: optional explicit ladder as a list of ``(P_cd, P_ns)``
+        pairs ending at the target order, overriding ``levels`` and the
+        default P-halving schedule (e.g. ``[(4, 4), (16, 16)]`` skips the
+        P8 level — every level costs a set of per-process program loads
+        over a tunnel-attached accelerator, so a shorter ladder can beat a
+        geometrically denser one on time-to-first-solution)
     :param kwargs: forwarded to :func:`build_coupled` (P_cd/P_ns etc.)
     :return: (cd, ns, mda, state) of the finest level
     """
     P_cd = kwargs.pop("P_cd", 4)
     P_ns = kwargs.pop("P_ns", 4)
     iprint = kwargs.get("iprint", True)
-    ladder = [(max(2, P_cd >> k), max(2, P_ns >> k))
-              for k in range(levels, 0, -1)] + [(P_cd, P_ns)]
-    # drop duplicate coarse levels created by the floor
-    ladder = [lv for i, lv in enumerate(ladder)
-              if i == 0 or lv != ladder[i - 1]]
+    if ladder is None:
+        ladder = [(max(2, P_cd >> k), max(2, P_ns >> k))
+                  for k in range(levels, 0, -1)] + [(P_cd, P_ns)]
+        # drop duplicate coarse levels created by the floor
+        ladder = [lv for i, lv in enumerate(ladder)
+                  if i == 0 or lv != ladder[i - 1]]
+    else:
+        ladder = [tuple(lv) for lv in ladder]
 
     state = state0
     src = grids0  # grids the current ``state`` lives on (None = this level's)

@@ -5,7 +5,10 @@ ladder (P4 → P8 → P16 at fixed 64×64 NS / 32×32 CD elements), runs it once
 to compile, then reports the cached solve wall-clock and the de Vahl Davis
 velocity anchor.  Target (BASELINE.json): < 10 s to 1e-8 rms on one v5e.
 
-Usage:  python study/north_star.py [--direct] [--ttfs]
+Usage:  python study/north_star.py [--direct] [--ttfs] [--short]
+        --short  use the two-level P4 -> P16 ladder (skips P8: one fewer
+        set of per-process program loads; the P16 level may pay 1-2 Newton
+        iterations instead of 0)
         --direct additionally times the single-level p16 solve for the
         continuation-speedup comparison (~1.5-2 min extra)
         --ttfs   times the user-facing end-to-end path instead: ONE
@@ -33,9 +36,12 @@ KW = dict(Re=1e3, Ra=1e3, Pr=0.71,
           mode="JNK", mtol_nonlin=1e-8, iprint=False)
 
 
+LADDER = (4, 16) if "--short" in sys.argv else (4, 8, 16)
+
+
 def build_levels():
     levels = {}
-    for P in (4, 8, 16):
+    for P in LADDER:
         t0 = time.perf_counter()
         levels[P] = build_coupled(1.0, 1.0, P_cd=P, P_ns=P, **KW)
         print(f"build P={P}: {time.perf_counter() - t0:.1f}s", flush=True)
@@ -45,7 +51,7 @@ def build_levels():
 def ladder(levels):
     s = None
     prev = None
-    for P in (4, 8, 16):
+    for P in LADDER:
         cd, ns, mda = levels[P]
         mda.cd_comp.iter_count_solve = mda.ns_comp.iter_count_solve = 0
         if s is not None:

@@ -156,6 +156,13 @@ def test_solve_continued_matches_direct():
                                atol=1e-6)
     assert cont_fine_solves < direct_solves
 
+    # explicit ladder override (skips intermediate orders)
+    cd3, ns3, mda3, s_lad = solve_continued(1.0, 1.0,
+                                            ladder=[(2, 2), (4, 4)],
+                                            P_cd=4, P_ns=4, **kw)
+    np.testing.assert_allclose(np.asarray(s_lad.u), np.asarray(s_direct.u),
+                               atol=1e-6)
+
 
 @pytest.mark.slow
 def test_solve_ra_continued_high_ra():
