@@ -19,7 +19,7 @@ def main(d="Boussinesq_study"):
     rows = []
     for f in sorted(glob.glob(os.path.join(d, "*.npz"))):
         name = os.path.basename(f)[:-4]
-        m = re.match(r"Boussinesq(GS|NJ|JNK)_([0-9.e+~-]+)_(\d+)~(\d+)_",
+        m = re.match(r"Boussinesq(GS|NJ|JNK|PTC)_([0-9.e+~-]+)_(\d+)~(\d+)_",
                      name)
         if not m:
             continue
@@ -29,7 +29,15 @@ def main(d="Boussinesq_study"):
             arrs = [z[k] for k in z.files]
         iters = next(a for a in arrs if a.ndim == 1 and a.size in (3, 4))
         u_e = arrs[1]
-        u_anchor = float(np.abs(u_e).max()) * float(Re) * float(Pr)
+        if float(Ra) > 1.1e4:
+            # the domain u-max exceeds the centerline u-max at high Ra
+            # (the peak moves off x=L/2) — report the literature-comparable
+            # centerline anchor instead (de Vahl Davis / Le Quere tables)
+            from centerline import centerline_anchors
+            u_anchor, _ = centerline_anchors(u_e, arrs[2], int(P), int(Ne),
+                                             Re=float(Re), Pr=float(Pr))
+        else:
+            u_anchor = float(np.abs(u_e).max()) * float(Re) * float(Pr)
         rows.append((mode, float(Re), float(Ra), int(P), int(Ne),
                      [int(x) for x in iters], round(u_anchor, 4)))
     rows.sort(key=lambda r: (r[1], r[2], r[3], r[4], r[0]))
