@@ -7,8 +7,13 @@ maxima at low Ra but exceed them at high Ra (the u peak moves off-center) —
 so high-Ra comparisons need the true centerline values.
 
 Literature values (u_max·RePr / v_max·RePr):
+  de Vahl Davis (1983), 41^2 FD + Richardson extrapolation:
     Ra=1e3: 3.649 / 3.697      Ra=1e4: 16.178 / 19.617
     Ra=1e5: 34.73 / 68.59      Ra=1e6: 64.63 / 219.36
+  Le Quere (1991), pseudo-spectral "accurate solutions" (the canonical
+  high-Ra values; measured here the p16 64x64 PTC solves match these to
+  ~4 digits at Ra=1e6 — the 1983 extrapolation carries ~0.3-0.5% error):
+    Ra=1e6: 64.8344 / 220.559  Ra=1e7: 148.58 / 699.18
 
 Usage: python study/centerline.py Boussinesq_study/<run>.npz P_ns Ne_ns
 """
