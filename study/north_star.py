@@ -71,8 +71,9 @@ def ladder(levels):
 def main():
     if "--ttfs" in sys.argv:
         from sem_tpu.coupling.boussinesq import solve_continued
+        lad = [(P, P) for P in LADDER]
         t0 = time.perf_counter()
-        cd, ns, mda, s = solve_continued(1.0, 1.0, levels=2, P_cd=16,
+        cd, ns, mda, s = solve_continued(1.0, 1.0, ladder=lad, P_cd=16,
                                          P_ns=16, **KW)
         wall = time.perf_counter() - t0
         u_anchor = float(jnp.max(jnp.abs(s.u))) * 1e3 * 0.71
