@@ -60,8 +60,10 @@ class ConvectionDiffusionComponent:
         return self.cd._get_dresiduals(dT_cd,
                                        *self.change_inputs(du_ns, dv_ns))
 
-    def solve_linear(self, d_residual, dT0=None, mtol=None):
-        out = self.cd._get_update(d_residual, dT0=dT0, mtol=mtol)
+    def solve_linear(self, d_residual, dT0=None, mtol=None,
+                     best_effort=False):
+        out = self.cd._get_update(d_residual, dT0=dT0, mtol=mtol,
+                                  best_effort=best_effort)
         self.iter_count_solve += 1
         return out
 
@@ -97,9 +99,11 @@ class NavierStokesComponent:
                                        self.change_inputs(dT_cd))
 
     def solve_linear(self, dres_u, dres_v, dres_cont,
-                     du0=None, dv0=None, dp0=None, mtol=None):
+                     du0=None, dv0=None, dp0=None, mtol=None,
+                     best_effort=False):
         out = self.ns._get_update(dres_u, dres_v, dres_cont,
-                                  du0=du0, dv0=dv0, dp0=dp0, mtol=mtol)
+                                  du0=du0, dv0=dv0, dp0=dp0, mtol=mtol,
+                                  best_effort=best_effort)
         self.iter_count_solve += 1
         return out
 

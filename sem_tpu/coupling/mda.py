@@ -360,22 +360,32 @@ class BoussinesqMDA:
         dru, drv, drp = self.ns_comp.apply_linear(du, dv, dp, dT)
         return self._pack(drT, dru, drv, drp)
 
-    def _block_jacobi(self, r: np.ndarray, mtol=None) -> np.ndarray:
+    def _block_jacobi(self, r: np.ndarray, mtol=None,
+                      best_effort=False) -> np.ndarray:
         """One linear block-Jacobi sweep: each discipline inverts its own
         Jacobian block (the reference's LinearBlockJac(maxiter=1)).
         With ``precon_type='bgs'``, the block Gauss-Seidel variant: the CD
         solve's dT feeds the buoyancy correction into the NS RHS (the
-        dominant T→NS off-diagonal block at high Ra)."""
+        dominant T→NS off-diagonal block at high Ra).
+
+        ``best_effort=True`` (preconditioner applications inside the
+        flexible outer Krylov loops): block solves return their
+        best-achievable iterate instead of escalating to f64 retries or
+        raising — a weaker preconditioner costs outer iterations, an f64
+        escalation per application costs minutes at p16 (measured at
+        Ra=1e7)."""
         from sem_tpu import operators as ops
         from sem_tpu.interp import apply_transfer
 
         rT, ru, rv, rp = self._unpack(r)
-        dT = self.cd_comp.solve_linear(rT, mtol=mtol)
+        dT = self.cd_comp.solve_linear(rT, mtol=mtol,
+                                       best_effort=best_effort)
         if self.precon_type == "bgs":
             ns_s = self.ns_comp.ns
             dT_ns = apply_transfer(self.cd_comp.cd.grid, ns_s.grid, dT)
             rv = rv + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid, dT_ns)
-        du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol)
+        du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol,
+                                               best_effort=best_effort)
         return self._pack(dT, du, dv, dp)
 
     def _gs_sweep(self, s: CoupledState, mtol=None) -> CoupledState:
@@ -595,7 +605,7 @@ class BoussinesqMDA:
                     dx, iters, ok, _ = self._fgmres_device(-F, atol=atol_k)
                 else:
                     precon = lambda r: self._block_jacobi(
-                        r, mtol=self.mtol_precon)
+                        r, mtol=self.mtol_precon, best_effort=True)
                     dx, iters, ok = _fgmres(
                         self._apply_linear, precon, -F,
                         atol=atol_k, restart=self.restart,
@@ -679,8 +689,8 @@ class BoussinesqMDA:
                 dx, iters, _, lin_res = self._fgmres_device(
                     -F, atol=atol_k, maxiter=step_maxiter)
             else:
-                precon = lambda r: self._block_jacobi(r,
-                                                      mtol=self.mtol_precon)
+                precon = lambda r: self._block_jacobi(
+                    r, mtol=self.mtol_precon, best_effort=True)
                 dx, iters, _ = _fgmres(
                     self._apply_linear, precon, -F,
                     atol=atol_k, restart=self.restart,

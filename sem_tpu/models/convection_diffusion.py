@@ -237,7 +237,7 @@ class ConvectionDiffusionSolver:
                               jdu, jdv, du, dv,
                               jnp.asarray(self._sigma, self._dtype))
 
-    def _get_update(self, dres, dT0=None, mtol=None):
+    def _get_update(self, dres, dT0=None, mtol=None, best_effort=False):
         """Solve the tangent system for dT (reference :123-156).
 
         GMRES with FDM right preconditioning; raises RuntimeError on
@@ -245,6 +245,9 @@ class ConvectionDiffusionSolver:
 
         :param mtol: optional per-call RMS tolerance override (used by the
             MDA to run preconditioner applications loosely)
+        :param best_effort: never raise — return the best-achievable
+            iterate (preconditioner applications inside a flexible outer
+            Krylov loop)
         """
         dT0 = (jnp.zeros(self.N, self._dtype) if dT0 is None
                else place(dT0, self._dtype))
@@ -267,7 +270,8 @@ class ConvectionDiffusionSolver:
         # accepted (outer convergence checks are authoritative); genuine
         # non-convergence (maxiter while progressing) raises like the
         # reference (:149-150)
-        if not bool(info.converged) and not bool(info.stalled):
+        if (not bool(info.converged) and not bool(info.stalled)
+                and not best_effort):
             raise RuntimeError(
                 f"ConvectionDiffusion GMRES: failed to converge in "
                 f"{int(info.iterations)} iterations (resnorm "

@@ -265,3 +265,41 @@ def test_ns_lgmres_iter_prints_per_iteration(capsys):
     lines = [l for l in out.splitlines()
              if l.startswith("NavierStokes LGMRES: ")]
     assert len(lines) >= 2
+
+
+def test_best_effort_update_skips_f64_escalation(monkeypatch):
+    """``_get_update(best_effort=True)`` (preconditioner applications inside
+    a flexible outer Krylov loop) must return the floored mixed-precision
+    iterate without the single-level f64 retry and without raising; the
+    default path must still escalate.  The dispatch is pinned with a
+    monkeypatched mixed path so the test stays cheap (the real trigger is a
+    convection-dominated tangent block, measured at Ra=1e7 p16 — each f64
+    escalation there costs minutes)."""
+    from sem_tpu.krylov import KrylovInfo
+
+    ns = NavierStokesSolver(1.0, 1.0, Re=50.0, Gr=0.0, P=3, N_ex=3, N_ey=3,
+                            u_N=1.0, iprint=[])
+    z = jnp.zeros(ns.N)
+    floored = KrylovInfo(converged=jnp.asarray(False),
+                         iterations=jnp.asarray(7, jnp.int32),
+                         resnorm=jnp.asarray(1e3),   # far above any atol
+                         stalled=jnp.asarray(True))
+    ok = KrylovInfo(converged=jnp.asarray(True),
+                    iterations=jnp.asarray(3, jnp.int32),
+                    resnorm=jnp.asarray(0.0), stalled=jnp.asarray(False))
+    monkeypatch.setattr(ns, "_update_coupled_mixed",
+                        lambda *a: (z, z, z, floored, ok))
+    f64_calls = []
+    monkeypatch.setattr(ns, "_update_jit",
+                        lambda *a: f64_calls.append(1) or
+                        (z, z, z, ok, ok, jnp.zeros(4)))
+
+    b = jnp.ones(ns.N)
+    ns._get_update(b, b, b, mtol=1e-6, best_effort=True)
+    assert not f64_calls                      # no f64 escalation
+    assert ns.besteffort_floor_count == 1
+    assert ns.f64_fallback_count == 0
+
+    ns._get_update(b, b, b, mtol=1e-6)        # default: escalates
+    assert f64_calls
+    assert ns.f64_fallback_count == 1
