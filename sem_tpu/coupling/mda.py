@@ -155,6 +155,8 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
     if normb <= atol:
         return x, 0, True
     m = restart
+    beta_prev = None    # true residual at the previous restart
+    stalled_in = False  # last window ended on the in-window plateau test
     while it < maxiter:
         r = b - matvec(x)
         beta = float(jnp.linalg.norm(r))
@@ -162,6 +164,18 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
             return x, it, False     # inner solve diverged/NaN — fail fast
         if beta <= atol:
             return x, it, True
+        # cross-restart stall (mirrors krylov.gmres semantics): a window
+        # whose estimated residual plateaued (<2% progress) AND whose
+        # update left the true residual essentially unchanged marks the
+        # preconditioned system uncrackable at this conditioning — return
+        # the best iterate instead of grinding the remaining budget
+        # (callers treat ok=False + partial progress as a linear failure:
+        # PTC cuts Δt, JNK raises).  Measured trigger: the Ra=1e7 p16 PTC
+        # steps sat >100 iterations at a flat 0.08 residual.
+        if stalled_in and beta_prev is not None and beta > 0.98 * beta_prev:
+            return x, it, False
+        beta_prev = beta
+        stalled_in = False
         V = jnp.zeros((m + 1, b.shape[0]), b.dtype)
         Z = jnp.zeros((m, b.shape[0]), b.dtype)
         V = _fg_row(V, r / beta, jnp.int32(0))
@@ -170,7 +184,9 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
         g[0] = beta
         cs = np.zeros(m)
         sn = np.zeros(m)
+        resw = np.zeros(m)  # per-iteration residual estimates (plateau test)
         k_used = 0
+        res = beta
         for k in range(m):
             kj = jnp.int32(k)
             z = precon(_fg_read_row(V, kj))
@@ -199,6 +215,17 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
                 callback(it, res)
             if res <= atol or it >= maxiter:
                 break
+            # in-window plateau (<2% estimated-residual progress over the
+            # last 40 iterations — the krylov.gmres criterion; only
+            # reachable when the window exceeds 40): restart early
+            if k + 1 >= 40 and res > 0.98 * resw[k - 39]:
+                stalled_in = True
+                break
+            resw[k] = res
+        # window ended without reaching atol and its estimate moved <2%:
+        # flag it — the true-residual test above decides the stall
+        if res > atol and res > 0.98 * beta:
+            stalled_in = True
         # Arnoldi breakdown guard: a stagnated inner solve can return
         # (near-)dependent directions, zeroing a diagonal of the rotated H
         # (observed with a degraded low-precision inner chunk); solve only

@@ -126,12 +126,24 @@ def test_host_fgmres_matches_scipy_restarted():
     assert it <= 40
 
     # exact agreement with SciPy on a hard (stagnating) system: any wiring
-    # error in the Hessenberg/Givens recurrence breaks this to all digits
+    # error in the Hessenberg/Givens recurrence breaks this to all digits.
+    # (two windows only — beyond that _fgmres correctly stall-exits where
+    # SciPy keeps grinding, which the assertion below pins)
     A2 = np.eye(n) + 0.1 * rng.standard_normal((n, n))
-    x_sp, _ = sp_gmres(A2, b, rtol=1e-10, restart=10, maxiter=3)
+    x_sp, _ = sp_gmres(A2, b, rtol=1e-10, restart=10, maxiter=2)
     x2, _, _ = _fgmres(lambda v: jnp.asarray(A2) @ v, lambda r: r,
-                       jnp.asarray(b), atol=atol, restart=10, maxiter=30)
+                       jnp.asarray(b), atol=atol, restart=10, maxiter=20)
     np.testing.assert_allclose(np.asarray(x2), x_sp, rtol=1e-9, atol=1e-12)
+
+    # stall detection: a flat window (<2% estimated progress) followed by a
+    # <2% true-residual restart must exit early with ok=False instead of
+    # burning the full budget (measured: Ra=1e7 PTC steps sat >100 flat
+    # iterations before this exit existed)
+    x3, it3, ok3 = _fgmres(lambda v: jnp.asarray(A2) @ v, lambda r: r,
+                           jnp.asarray(b), atol=atol, restart=10,
+                           maxiter=1000)
+    assert not ok3
+    assert it3 <= 60
 
 
 def test_solve_continued_matches_direct():
