@@ -27,6 +27,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORM_NAME"):
+    # make JAX_PLATFORM_NAME authoritative for the CLI: on this machine an
+    # accelerator plugin exports JAX_PLATFORMS globally, which would
+    # otherwise override it (tests run the sweep subprocess on CPU)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORM_NAME"])
+
 import jax.numpy as jnp
 
 
