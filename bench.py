@@ -175,8 +175,38 @@ def pin_csr_baseline(repeats: int = 10):
     return rate
 
 
+def _guard_backend_init(timeout_s: float = 600.0):
+    """Bound the accelerator-backend initialization.
+
+    ``jax.devices()`` over the tunnel-attached accelerator hangs
+    indefinitely while the remote worker pool is down (observed: >90 min
+    after a worker crash).  The driver expects ONE JSON line from this
+    script, so a down backend must produce an error line, not a hang.
+    The guard covers ONLY backend init — first compiles may legitimately
+    take minutes and are not bounded."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "sem_operator_apply_p16_64x64_f32",
+                "value": 0.0, "unit": "GDOF/s", "vs_baseline": 0.0,
+                "error": f"accelerator backend init exceeded "
+                         f"{timeout_s:.0f}s (tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    jax.devices()
+    done.set()
+
+
 def main():
     dtype = jnp.float32
+    _guard_backend_init()
 
     # reference-architecture baseline: the pinned, dated constant (measure
     # with --pin-csr); only measured inline as a fallback if never pinned
