@@ -210,6 +210,13 @@ def build_coupled(L_x: float, L_y: float,
                             iprint=["NEWTON_suc"] if iprint else [])
     cd_comp = ConvectionDiffusionComponent(cd, ns)
     ns_comp = NavierStokesComponent(cd, ns)
+    if "checkpoint_path" in mda_kwargs:
+        # auto-fill the config stamp checkpoints are verified against on
+        # resume (utils.checkpoint raises on a mismatched discretization)
+        mda_kwargs.setdefault("checkpoint_config", dict(
+            Re=Re, Ra=Ra, Pr=Pr, P_cd=P_cd, N_ex_cd=N_ex_cd,
+            N_ey_cd=N_ey_cd, P_ns=P_ns, N_ex_ns=N_ex_ns, N_ey_ns=N_ey_ns,
+            mode=mode))
     mda = BoussinesqMDA(cd_comp, ns_comp, mode=mode,
                         mtol_nonlin=mtol_nonlin,
                         AGi=AGi, AGr=AGr, AGc=AGc,

@@ -304,7 +304,8 @@ class BoussinesqMDA:
                  forcing: float = 1e-3,
                  ptc_dt0: float = 0.1, ptc_growth: float = 3.0,
                  ptc_dt_max: float = 1e12, ptc_forcing: float = 1e-2,
-                 precon: str = None):
+                 precon: str = None, checkpoint_path: str = None,
+                 checkpoint_every: int = 5, checkpoint_config: dict = None):
         if mode not in ("GS", "NJ", "JNK", "PTC"):
             raise ValueError("Unknown method")  # parity: reference :93
         if precon is None:
@@ -350,6 +351,13 @@ class BoussinesqMDA:
             device_krylov = self.DOF <= 1_000_000
         self.device_krylov = bool(device_krylov)
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
+        # mid-solve checkpointing (utils.checkpoint; SURVEY §5.4): every
+        # ``checkpoint_every`` accepted nonlinear iterations/PTC steps the
+        # coupled iterate is persisted — long high-Ra runs survive
+        # crashes/timeouts and resume via ``solve(load_checkpoint(...)[0])``
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
+        self.checkpoint_config = checkpoint_config or {}
         self.stats = MDAStats()
 
     # ------------------------- plumbing ------------------------- #
@@ -426,6 +434,16 @@ class BoussinesqMDA:
     def _print(self, tag, k, norm):
         if self.iprint:
             print(f"Boussinesq {tag}: {k}\t{norm}")
+
+    def _maybe_checkpoint(self, s: CoupledState, k: int):
+        """Persist the coupled iterate every ``checkpoint_every`` accepted
+        nonlinear iterations (no-op unless ``checkpoint_path`` is set)."""
+        if self.checkpoint_path and k % self.checkpoint_every == 0:
+            from sem_tpu.utils.checkpoint import save_checkpoint
+            self.stats.cd_solves = self.cd_comp.iter_count_solve
+            self.stats.ns_solves = self.ns_comp.iter_count_solve
+            save_checkpoint(self.checkpoint_path, s,
+                            self.checkpoint_config, self.stats)
 
     # ------------------ on-device coupled FGMRES (JNK) ------------------ #
     def _build_jnk_cycle(self):
@@ -599,6 +617,7 @@ class BoussinesqMDA:
             self.stats.nonlinear_iters = k
             if norm <= self.atol_nonlin:
                 return s
+            self._maybe_checkpoint(s, k)
         raise RuntimeError(
             f"Boussinesq GS: no convergence in {self.maxiter} iterations")
 
@@ -660,6 +679,7 @@ class BoussinesqMDA:
                     s_new, F_new, norm_new = self._try_step(s, dx, alpha)
                     ls += 1
             s, F, norm = s_new, F_new, norm_new
+            self._maybe_checkpoint(s, k)
         raise RuntimeError(
             f"Boussinesq NEWTON: no convergence in {self.maxiter} iterations")
 
@@ -763,6 +783,7 @@ class BoussinesqMDA:
                 dt = min(dt * min(max(ratio, 0.1), self.ptc_growth),
                          dt_ceil)
             s, F, norm = s_new, F_new, norm_new
+            self._maybe_checkpoint(s, k)
         raise RuntimeError(
             f"Boussinesq PTC: no convergence in {self.maxiter} iterations")
 

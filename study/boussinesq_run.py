@@ -18,6 +18,11 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
     -save True      save .npz results
     -backend single single | mesh (mesh = shard over all visible devices,
                     the TPU replacement of the reference's PETSc backend)
+    -ckpt True      checkpoint the coupled iterate every few nonlinear
+                    iterations to Boussinesq_study/<title>.ckpt.npz
+                    (capability beyond the reference — SURVEY §5.4)
+    -resume True    warm-start from that checkpoint if present (implies
+                    checkpointing the continued run)
 
 Run: ``python study/boussinesq_run.py -P 4 -Ne 8 -mode JNK``
 """
@@ -60,7 +65,8 @@ def run(log=False, save=True,
         mode="JNK", backend="single",
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
-        mtol_internal=1e-13, forcing=None, racont=False):
+        mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
+        resume=False):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -96,6 +102,9 @@ def run(log=False, save=True,
                       AGi=AGi, AGr=AGr, AGc=AGc,
                       mtol_gmres=mtol_gmres, restart=restart,
                       mtol_internal=mtol_internal, forcing=forcing)
+            if ckpt or resume:
+                os.makedirs("Boussinesq_study", exist_ok=True)
+                kw["checkpoint_path"] = f"Boussinesq_study/{title}.ckpt.npz"
             if racont:
                 # Ra continuation for high-Ra configs (from-zero solves
                 # fail there); recorded stats are the target level's
@@ -103,7 +112,15 @@ def run(log=False, save=True,
                 cd, ns, mda, state = solve_ra_continued(L_x, L_y, Ra, **kw)
             else:
                 cd, ns, mda = build_coupled(L_x, L_y, Ra=Ra, **kw)
-                state = mda.solve()
+                state0 = None
+                if resume and os.path.exists(kw["checkpoint_path"]):
+                    from sem_tpu.utils.checkpoint import load_checkpoint
+                    state0, _, it0 = load_checkpoint(
+                        kw["checkpoint_path"],
+                        expect_config=mda.checkpoint_config)
+                    print(f"resuming from {kw['checkpoint_path']} "
+                          f"(saved iters {list(it0) if it0 is not None else '?'})")
+                state = mda.solve(state0)
     finally:
         if log:
             sys.stdout = sys.__stdout__
@@ -131,6 +148,8 @@ if __name__ == "__main__":
     log = False
     mode = "JNK"
     racont = False
+    ckpt = False
+    resume = False
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -157,6 +176,10 @@ if __name__ == "__main__":
             backend = args[i + 1]
         if arg == "-racont":
             racont = args[i + 1].lower() in ("true", "1", "yes")
+        if arg == "-ckpt":
+            ckpt = args[i + 1].lower() in ("true", "1", "yes")
+        if arg == "-resume":
+            resume = args[i + 1].lower() in ("true", "1", "yes")
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -164,4 +187,4 @@ if __name__ == "__main__":
                 for Ne in Ne_set:
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
                         P=int(P), N_e=int(Ne), backend=backend,
-                        racont=racont)
+                        racont=racont, ckpt=ckpt, resume=resume)

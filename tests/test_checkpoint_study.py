@@ -76,3 +76,28 @@ def test_study_harness_cli(tmp_path):
         arrays = [z[k] for k in z.files if k != "meta"]
     # element-scattered T, u, v + iteration counters
     assert len(arrays) == 4
+
+
+def test_mid_solve_checkpointing_and_cli_resume(tmp_path):
+    """``BoussinesqMDA(checkpoint_path=...)`` persists the coupled iterate
+    DURING the solve (every ``checkpoint_every`` accepted iterations), and
+    a fresh MDA warm-started from that mid-run checkpoint converges with
+    strictly less work than from zero — crash/timeout recovery for long
+    PTC/GS runs (a killed Ra=1e7 p16 run motivated this)."""
+    path = str(tmp_path / "mid.ckpt.npz")
+    cd, ns, mda = build_coupled(1.0, 1.0, Re=CFG["Re"], Ra=CFG["Ra"],
+                                Pr=CFG["Pr"], P_cd=3, N_ex_cd=3, N_ey_cd=3,
+                                P_ns=3, N_ex_ns=3, N_ey_ns=3,
+                                mode="GS", mtol_nonlin=1e-9, iprint=False,
+                                checkpoint_path=path, checkpoint_every=2)
+    assert mda.checkpoint_config["Ra"] == CFG["Ra"]  # auto-filled stamp
+    mda.solve()
+    total_sweeps = mda.stats.nonlinear_iters
+    assert os.path.exists(path)                      # written mid-solve
+    loaded, config, iters = load_checkpoint(
+        path, expect_config=mda.checkpoint_config)
+    # the stored iterate is a mid-run snapshot, not the converged state
+    assert 0 < iters[2] < total_sweeps
+
+    _, mda2 = _solve(s0=loaded)
+    assert mda2.stats.nonlinear_iters < total_sweeps  # resumed, not redone
