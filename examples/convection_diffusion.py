@@ -15,6 +15,14 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("JAX_PLATFORM_NAME"):
+    # JAX_PLATFORM_NAME is authoritative for the examples: the machine's
+    # accelerator plugin exports JAX_PLATFORMS globally, which would
+    # otherwise override a CPU request (and hang when the tunnel is down)
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORM_NAME"])
+
+
 import numpy as np
 
 from sem_tpu import ConvectionDiffusionSolver
