@@ -104,9 +104,16 @@ def _mgs_sweep_live(V, w, k, cchunk, hi):
 # default DGKS reorthogonalization threshold η: resweep when the first sweep
 # cancelled more than (1-η) of ‖w‖, i.e. ‖w₁‖ < η·‖w₀‖.  1/√2 is the
 # classical Daniel-Gragg-Kaufman-Stewart constant ("twice is enough" with
-# certainty); smaller η trades basis-sweep traffic for orthogonality margin —
-# see BASELINE.md for the measured η sensitivity of the p16 coupled solve.
-DGKS_ETA = 0.7071
+# certainty) but is hyper-conservative for the chunked-MGS sweeps here:
+# measured on REAL solves (P=8 32×32 coupled JNK; Re=400 P=8 16×16 lid),
+# η=1/√2 resweeps 96% of iterations while η=0.25 resweeps 3% with
+# IDENTICAL iteration counts, solutions, and f64-fallback behavior — each
+# avoided resweep saves that iteration's second pass over the live Krylov
+# basis (the dominant per-iteration HBM cost at SEM sizes; ~3.2 of
+# 10.2 ms/it at p16).  0.25 keeps the safety net armed for genuine
+# cancellation; raise toward 1/√2 if a future solver family shows
+# orthogonality-loss symptoms (iteration inflation at tight tolerances).
+DGKS_ETA = 0.25
 
 
 def _orthogonalize(V, w, k, cchunk, hi, eta=DGKS_ETA):
