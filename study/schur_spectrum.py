@@ -21,6 +21,10 @@ P=4 8x8 and p16 64x64.  Candidate mechanisms tested here:
   and ``diagS`` (exact |diag(S)|) would both degrade if this dominated.
 
 Usage:  python study/schur_spectrum.py [P Ne [P Ne ...]] [--wind]
+            [--lid RE] [--cands name1,name2,...]
+        --lid RE: strong O(1) recirculating wind at Reynolds RE
+        (the convection-dominated regime; candidates incl. 'pcd',
+        'pcd_rev', 'bfbt' — bfbt builds dense (N,N), small grids only)
 """
 import sys
 import os
@@ -108,11 +112,20 @@ def gmres_count(S_mv, n, Minv_apply, rtol=1e-10, maxiter=3000, restart=200):
     return it["n"], res
 
 
-def run_config(P, Ne, Re=1e3, with_wind=False, candidates=None):
+def run_config(P, Ne, Re=1e3, with_wind=False, lid_re=None,
+               candidates=None):
     grid = Grid2D(P, Ne, Ne, 1.0, 1.0)
     N = grid.N
     u = v = None
-    if with_wind:
+    if lid_re is not None:
+        # strong O(1) recirculating wind at lid-cavity Reynolds number —
+        # the convection-dominated regime where the f32 mixed path stalls
+        # (BASELINE r2/r3; ROADMAP r3 design notes)
+        Re = float(lid_re)
+        x, y = grid.points
+        u = np.sin(np.pi * x) ** 2 * np.sin(2 * np.pi * y)
+        v = -np.sin(2 * np.pi * x) * np.sin(np.pi * y) ** 2
+    elif with_wind:
         # Boussinesq-cavity velocity magnitude (u_max·RePr ≈ 3.65 ⇒ ~5e-3)
         pts = grid.points
         u = 0.005 * np.sin(np.pi * pts[0]) * np.cos(np.pi * pts[1])
@@ -227,13 +240,46 @@ def run_config(P, Ne, Re=1e3, with_wind=False, candidates=None):
             return np.where(pin, r, dp)
         return apply_
 
+    # pressure convection-diffusion (Elman-Silvester-Wathen):
+    # Ŝ⁻¹ = M_p⁻¹ F_p A_p⁻¹ (production 'pcd' parity) or the reversed
+    # A_p⁻¹ F_p M_p⁻¹ order — measured here against the TRUE
+    # (exact-velocity-elimination) Schur operator to diagnose why the
+    # production 'pcd' stagnates Newton on convection-dominated solves
+    def make_pcd(rev=False):
+        Gxp = sp.kron(sp.csr_matrix(grid.G1x), sp.diags(grid.m1y)).tocsr()
+        Gyp = sp.kron(sp.diags(grid.m1x), sp.csr_matrix(grid.G1y)).tocsr()
+        Fp = K if u is None else (
+            K + Re * (sp.diags(u) @ Gxp + sp.diags(v) @ Gyp)).tocsr()
+        Kpin = K.tolil(copy=True)
+        ip = int(np.where(pin)[0][0])
+        Kpin[ip, :] = 0.0
+        Kpin[ip, ip] = 1.0
+        lup = spla.splu(Kpin.tocsc())
+
+        def apply_fwd(r):
+            t = lup.solve(np.where(mb | pin, 0.0, r))
+            dp = (Fp @ t) / md
+            dp = np.where(mb, r / sd, dp)
+            return np.where(pin, r, dp)
+
+        def apply_rev(r):
+            t = Fp @ (np.where(mb | pin, 0.0, r) / md)
+            dp = lup.solve(t)
+            dp = np.where(mb, r / sd, dp)
+            return np.where(pin, r, dp)
+
+        return apply_rev if rev else apply_fwd
+
     cands = {"mass": lambda: mass_inv, "mass+bb": lambda: mass_bb_inv,
              "bfbt": make_bfbt, "diagS": make_diagS,
              "einv": lambda: make_tensor("einv"),
              "specS": lambda: make_tensor("specS"),
-             "specS+bb": make_specs_bb}
+             "specS+bb": make_specs_bb,
+             "pcd": make_pcd,
+             "pcd_rev": lambda: make_pcd(rev=True)}
     names = candidates or ["mass", "specS", "specS+bb"]
-    wind = "wind" if with_wind else "stokes"
+    wind = (f"lid Re={Re:g}" if lid_re is not None
+            else "wind" if with_wind else "stokes")
     print(f"P={P} Ne={Ne} N={N} ({wind}):", flush=True)
     for name in names:
         Mi = cands[name]()
@@ -248,8 +294,19 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     wind = "--wind" in args
     args = [a for a in args if a != "--wind"]
+    lid_re = None
+    if "--lid" in args:
+        i = args.index("--lid")
+        lid_re = float(args[i + 1])
+        del args[i:i + 2]
+    cands_arg = None
+    if "--cands" in args:
+        i = args.index("--cands")
+        cands_arg = args[i + 1].split(",")
+        del args[i:i + 2]
     vals = [int(a) for a in args]
     configs = (list(zip(vals[::2], vals[1::2])) if vals
                else [(4, 4), (4, 8), (4, 16), (8, 8), (8, 16)])
     for (P, Ne) in configs:
-        run_config(P, Ne, with_wind=wind)
+        run_config(P, Ne, with_wind=wind, lid_re=lid_re,
+                   candidates=cands_arg)
