@@ -41,10 +41,16 @@ def J_mv(q):
     du, dp = q[:2*N], q[2*N:]
     return np.concatenate([A @ du + G @ dp, B @ du + C @ dp])
 
-# velocity preconditioner block = exact inverse of the DIFFUSION-only
-# masked block (what FDM inverts), NOT of A (convection unknown to FDM)
-Kd = build_blocks(grid, Re=Re, u=None, v=None)[0]   # [[K,0],[0,K]] masked
-lu_Kd = spla.splu(Kd.tocsc())
+# velocity preconditioner block: exact inverse of the DIFFUSION-only
+# masked block (what FDM inverts; default), or of the FULL Newton velocity
+# block A (--velo exact — upper bound on what any velocity solve can give)
+if "--velo" in sys.argv and sys.argv[sys.argv.index("--velo") + 1] == "exact":
+    lu_Kd = spla.splu(A.tocsc())
+    print("velocity inverse: EXACT (full Newton A)")
+else:
+    Kd = build_blocks(grid, Re=Re, u=None, v=None)[0]  # [[K,0],[0,K]] masked
+    lu_Kd = spla.splu(Kd.tocsc())
+    print("velocity inverse: diffusion-only (FDM analog)")
 
 # Schur candidates
 Gxp = sp.kron(sp.csr_matrix(grid.G1x), sp.diags(grid.m1y)).tocsr()
