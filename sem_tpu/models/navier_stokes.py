@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import gmres, refined_gmres_host
+from sem_tpu.krylov import fgmres, gmres, refined_gmres_host
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -198,6 +198,7 @@ class NavierStokesSolver:
                  max_newton: int = 100, linear_solver: str = "coupled",
                  mixed_precision: bool = True, max_refine: int = 12,
                  schur_precon: str = "spectral", forcing: float = 1e-3,
+                 velo_inner: int = 0,
                  basis_dtype=None, dtype=jnp.float64):
         """
         :param Re: Reynolds number; :param Gr: Grashof number
@@ -238,6 +239,18 @@ class NavierStokesSolver:
             Ŝ⁻¹ = M⁻¹ F_p A_p⁻¹ with A_p the FDM pseudo-inverse of the
             Neumann pressure Laplacian and F_p the convection-diffusion
             operator
+        :param velo_inner: inner velocity-solve strength of the coupled
+            preconditioner on the SINGLE-LEVEL f64 path: 0 (default) = one
+            FDM(Laplacian+σ) apply per application; k>0 replaces it with
+            ``k`` iterations of FDM-right-preconditioned GMRES on the TRUE
+            shifted velocity Jacobian (convection + reaction diagonals).
+            The inner solve varies per application, so the outer loop
+            switches to flexible GMRES.  Offline composition measurements
+            (study/coupled_pc_diag.py, real Re=400 lid linearization,
+            consistent RHS) show k=5 cutting outer iterations ~2.7×; the
+            mixed-precision f32 chunks keep the plain pc (their
+            left-preconditioned refinement contract needs a fixed linear
+            preconditioner — flexible chunks are a round-4 item)
         :param basis_dtype: storage dtype of the f32 chunks' Krylov basis
             (``None`` = f32; ``jnp.bfloat16`` halves orthogonalization HBM
             traffic at the cost of a higher attainable chunk floor —
@@ -258,6 +271,7 @@ class NavierStokesSolver:
         self._maxiter = int(maxiter)
         self._restart_velo = int(restart_velo)
         self._maxiter_velo = int(maxiter_velo)
+        self._velo_inner = max(0, int(velo_inner))
         self._max_newton = int(max_newton)
         if linear_solver not in ("uzawa", "coupled"):
             raise ValueError("linear_solver must be 'uzawa' or 'coupled'")
@@ -543,7 +557,7 @@ class NavierStokesSolver:
                                        jac, q_star, sigma)
             return q[:N], q[N:], dp, schur_info, velo_info2, hist
 
-        def _coupled_ops(u_lin, v_lin, jac, xdtype):
+        def _coupled_ops(u_lin, v_lin, jac, xdtype, velo_inner=0):
             """Coupled saddle matvec + block-triangular preconditioner in the
             given compute dtype (the operator kernels cast their constants by
             input dtype, so one definition serves f64 and the f32 fast path).
@@ -651,9 +665,34 @@ class NavierStokesSolver:
                     dp = jnp.where(pin, rp, dp)
                 gx = jnp.where(mb, 0.0, ops.apply_grad_x(grid, dp))
                 gy = jnp.where(mb, 0.0, ops.apply_grad_y(grid, dp))
-                # both velocity FDM solves as one batched dispatch
-                duv = fdm(jnp.stack([ru - gx, rv - gy]), sigma=sigma)
-                return jnp.concatenate([duv[0], duv[1], dp])
+                bu_, bv_ = ru - gx, rv - gy
+                if velo_inner == 0:
+                    # both velocity FDM solves as one batched dispatch
+                    duv = fdm(jnp.stack([bu_, bv_]), sigma=sigma)
+                    return jnp.concatenate([duv[0], duv[1], dp])
+                # velo_inner > 0: solve the TRUE shifted velocity Jacobian
+                # (convection + reaction diagonals — mv carries σ inside
+                # jxx/jyy, matching fdm's σ) by a bounded inner GMRES with
+                # the FDM as right preconditioner.  The inner solve varies
+                # per application ⇒ callers must use FLEXIBLE outer GMRES
+                # (measured: a nonlinear pc inside plain GMRES silently
+                # breaks the Arnoldi relation — ROADMAP r3 notes; offline
+                # composition data: k=5 cuts outer its ~2.7× at Re=400).
+                b2 = jnp.concatenate([bu_, bv_])
+                zp = jnp.zeros(N, b2.dtype)
+
+                def mv_velo(q2):
+                    return mv(jnp.concatenate([q2, zp]))[:2 * N]
+
+                def pc_velo(q2):
+                    duv_ = fdm(jnp.stack([q2[:N], q2[N:]]), sigma=sigma)
+                    return jnp.concatenate([duv_[0], duv_[1]])
+
+                q2, _ = gmres(mv_velo, b2,
+                              atol=jnp.asarray(0.0, b2.dtype),
+                              restart=velo_inner, maxiter=velo_inner,
+                              precon=pc_velo)
+                return jnp.concatenate([q2[:N], q2[N:], dp])
 
             return mv, pc
 
@@ -671,8 +710,19 @@ class NavierStokesSolver:
             atol_eff = jnp.maximum(mtol_s * np.sqrt(3 * N),
                                    jnp.maximum(mtol_s, 50 * eps)
                                    * jnp.linalg.norm(b))
-            mv64, pc64 = _coupled_ops(u_lin, v_lin, jac, dtype)
+            mv64, pc64 = _coupled_ops(u_lin, v_lin, jac, dtype,
+                                      velo_inner=self._velo_inner)
             q0 = jnp.concatenate([zero(), zero(), dp0])
+            if self._velo_inner > 0:
+                # the inner velocity GMRES varies per application —
+                # flexible outer required (see pc)
+                q, info, hist = fgmres(mv64, b, q0, atol=atol_eff,
+                                       restart=self._restart,
+                                       maxiter=self._maxiter,
+                                       precon=lambda r: pc64(r, sigma))
+                if not want_hist:
+                    hist = jnp.zeros(0, dtype)
+                return q[:N], q[N:2 * N], q[2 * N:], info, info, hist
             out = gmres(mv64, b, x0=q0, atol=atol_eff,
                         restart=self._restart,
                         maxiter=self._maxiter,
