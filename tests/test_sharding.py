@@ -74,6 +74,49 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_forces_cpu_before_backend_touch():
+    """``_ensure_devices`` must force the CPU platform BEFORE the first
+    backend-initializing call — with the axon plugin env active, the first
+    ``jax.devices()`` otherwise initializes the tunnel backend, which HANGS
+    when the remote pool is down (MULTICHIP_r03 rc=124; VERDICT r3 #1).
+
+    Runs in a subprocess with the plugin's ``JAX_PLATFORMS=axon`` export
+    active and a spy on ``jax.devices`` that records the configured platform
+    at each call: every call must observe ``jax_platforms == 'cpu'``.
+    """
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "axon"      # the plugin's global export
+os.environ.pop("JAX_PLATFORM_NAME", None)
+import jax
+_real = jax.devices
+calls = []
+def spy(*a, **k):
+    calls.append(jax.config.jax_platforms)
+    return _real(*a, **k)
+jax.devices = spy
+import __graft_entry__ as g
+devs = g._ensure_devices(8)
+assert calls, "jax.devices was never called"
+assert all(c == "cpu" for c in calls), f"backend touched pre-CPU: {calls}"
+assert len(devs) == 8 and all(d.platform == "cpu" for d in devs), devs
+assert jax.default_backend() == "cpu"
+print("CPU_FORCED_OK")
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo, env=env,
+                         capture_output=True, text=True, timeout=180)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "CPU_FORCED_OK" in out.stdout
+
+
 def test_sharded_hlo_contains_collectives():
     """Compiled sharded programs actually communicate over the mesh axis.
 
