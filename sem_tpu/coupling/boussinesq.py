@@ -188,7 +188,7 @@ def build_coupled(L_x: float, L_y: float,
                   mtol_gmres=1e-10, restart=20,
                   mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
                   device_krylov=None, forcing=1e-3, mtol_subsolve=1e-6,
-                  **mda_kwargs):
+                  velo_inner=0, **mda_kwargs):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -199,6 +199,12 @@ def build_coupled(L_x: float, L_y: float,
     capability beyond the reference, see
     :meth:`sem_tpu.coupling.mda.BoussinesqMDA._solve_ptc`); extra keyword
     arguments (``ptc_dt0`` etc.) pass through to :class:`BoussinesqMDA`.
+
+    ``velo_inner`` passes through to the NS solver: k>0 strengthens every
+    coupled-preconditioner application with k FDM-preconditioned GMRES steps
+    on the true shifted velocity Jacobian (flexible chunks) — the knob for
+    the strongly convection-dominated regimes (Ra ≳ 1e7) where the plain
+    FDM velocity blocks no longer hold the block preconditioner together.
     """
     cd = ConvectionDiffusionSolver(L_x=L_x, L_y=L_y, Pe=Re * Pr,
                                    P=P_cd, N_ex=N_ex_cd, N_ey=N_ey_cd,
@@ -207,6 +213,7 @@ def build_coupled(L_x: float, L_y: float,
     ns = NavierStokesSolver(L_x=L_x, L_y=L_y, Re=Re, Gr=Ra / Pr,
                             P=P_ns, N_ex=N_ex_ns, N_ey=N_ey_ns,
                             mtol=mtol_internal, mtol_newton=mtol_internal,
+                            velo_inner=velo_inner,
                             iprint=["NEWTON_suc"] if iprint else [])
     cd_comp = ConvectionDiffusionComponent(cd, ns)
     ns_comp = NavierStokesComponent(cd, ns)

@@ -699,19 +699,24 @@ class BoussinesqMDA:
         diagonal) and every preconditioner matches it spectrally (FDM
         ``1/(λ+σ)`` diagonals, spectral Schur ``(λ̂+σ)/ε`` modes) — so the
         coupled tangent systems are block-diagonally dominant exactly when
-        the steady ones are intractable.  Δt ramps by switched evolution
-        relaxation (SER): grow by ‖F_{k-1}‖/‖F_k‖ (capped at ``ptc_growth``)
-        on accepted steps, shrink 4× on rejected ones.  As Δt→∞ the step is
-        exact Newton, so convergence is tested on the unchanged steady
-        residual and the result meets the same tolerances as JNK.
+        the steady ones are intractable.  The Δt schedule is the shared
+        :class:`sem_tpu.ptc.SERController` (one implementation with the
+        standalone :meth:`NavierStokesSolver.solve_ptc`): SER ramp, blowup
+        rejection, linear-failure-gated shrink and the Δt trust-region
+        ceiling.  As Δt→∞ the step is exact Newton, so convergence is tested
+        on the unchanged steady residual and the result meets the same
+        tolerances as JNK.
         """
+        from sem_tpu.ptc import SERController
+
         Pe = self.cd_comp.cd._Pe
         Re = self.ns_comp.ns._Re
-        dt = self.ptc_dt0
-        dt_ceil = self.ptc_dt_max  # trust-region ceiling (see below)
+        ctrl = SERController(self.ptc_dt0, growth=self.ptc_growth,
+                             dt_max=self.ptc_dt_max)
         F = self._residuals(s)
         norm = float(jnp.linalg.norm(F))
         for k in range(1, self.maxiter + 1):
+            dt = ctrl.dt
             self._print("PTC", k - 1, f"{norm}\tdt={dt:.3g}")
             if norm <= self.atol_nonlin:
                 self.stats.nonlinear_iters = k - 1
@@ -751,37 +756,14 @@ class BoussinesqMDA:
             s_new, F_new, norm_new = self._try_step(s, dx, 1.0)
             if not np.isfinite(norm_new) or norm_new > 1e3 * max(norm, 1.0):
                 # genuine blowup: reject, damp hard, re-solve about same x
-                dt /= 10.0
-                if dt < 1e-10:
+                if not ctrl.reject_blowup():
                     raise RuntimeError(
                         f"Boussinesq PTC: pseudo-time step collapsed at "
                         f"residual {norm:.3e} (target "
                         f"{self.atol_nonlin:.3e})")
                 continue
-            # SER always accepts the step (the physical transient may raise
-            # ‖F‖ temporarily — e.g. the first step imposes the Dirichlet
-            # walls on an inconsistent initial state and the interior
-            # residual jumps; a monotone line search deadlocks there):
-            # Δt_{k+1} = Δt_k · ‖F_k‖/‖F_{k+1}‖, growth- and shrink-capped.
-            # Δt trust region: a failed linear solve (stalled far above its
-            # target) marks the current Δt band uncrackable — cut Δt 4× when
-            # the step also went nowhere, and hold a ceiling at half the
-            # failing Δt so SER does not immediately re-enter the bad band
-            # (observed: without the ceiling the controller oscillates,
-            # re-growing into failure every few steps near a near-singular
-            # large-Δt Jacobian).  The ceiling relaxes 1.5× per healthy
-            # step.  Slow-but-real progress with a healthy linear solve is
-            # the normal transient march and must NOT shrink Δt.
-            ratio = norm / max(norm_new, 1e-300)
-            if lin_failed:
-                dt_ceil = max(dt / 2.0, 1e-10)
-            if lin_failed and norm_new > 0.95 * norm:
-                dt = max(dt * 0.25, 1e-10)
-            else:
-                if not lin_failed:
-                    dt_ceil = min(dt_ceil * 1.5, self.ptc_dt_max)
-                dt = min(dt * min(max(ratio, 0.1), self.ptc_growth),
-                         dt_ceil)
+            # SER + linear-failure trust region (rationale in sem_tpu.ptc)
+            ctrl.accept(norm, norm_new, lin_failed)
             s, F, norm = s_new, F_new, norm_new
             self._maybe_checkpoint(s, k)
         raise RuntimeError(

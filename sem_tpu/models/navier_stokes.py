@@ -240,21 +240,35 @@ class NavierStokesSolver:
             Neumann pressure Laplacian and F_p the convection-diffusion
             operator
         :param velo_inner: inner velocity-solve strength of the coupled
-            preconditioner on the SINGLE-LEVEL f64 path: 0 (default) = one
-            FDM(Laplacian+σ) apply per application; k>0 replaces it with
-            ``k`` iterations of FDM-right-preconditioned GMRES on the TRUE
-            shifted velocity Jacobian (convection + reaction diagonals).
-            The inner solve varies per application, so the outer loop
-            switches to flexible GMRES.  Offline composition measurements
-            (study/coupled_pc_diag.py, real Re=400 lid linearization,
-            consistent RHS) show k=5 cutting outer iterations ~2.7×; the
-            mixed-precision f32 chunks keep the plain pc (their
-            left-preconditioned refinement contract needs a fixed linear
-            preconditioner — flexible chunks are a round-4 item)
+            preconditioner: 0 (default) = one FDM(Laplacian+σ) apply per
+            application; k>0 replaces it with ``k`` iterations of
+            FDM-right-preconditioned GMRES on the TRUE shifted velocity
+            Jacobian (convection + reaction diagonals).  The inner solve
+            varies per application, so the outer loop must be FLEXIBLE:
+            the f64 single-level path uses :func:`sem_tpu.krylov.fgmres`,
+            and the mixed-precision path swaps its left-preconditioned
+            plain-GMRES f32 chunks for ROW-SCALED right-preconditioned
+            FGMRES chunks (solve D⁻¹A x = D⁻¹r with D a stochastic
+            row-norm estimate conditioning the f32-visible norm — raw SEM
+            row scales span ~1e7 — and the varying block preconditioner
+            applied flexibly on the right).  Offline composition
+            measurements (study/coupled_pc_diag.py, real Re=400 lid
+            linearization, consistent RHS) show k=5 cutting outer
+            iterations ~2.7×.  Even at the default 0, a mixed-precision
+            solve that floors far above tolerance retries ONCE on the
+            flexible k=5 path before paying the software-f64 fallback
+            (``flex_retry_count`` counts these)
         :param basis_dtype: storage dtype of the f32 chunks' Krylov basis
             (``None`` = f32; ``jnp.bfloat16`` halves orthogonalization HBM
             traffic at the cost of a higher attainable chunk floor —
             measured trade, see BASELINE.md)
+        :param max_refine: SOFT floor on the mixed-precision refinement
+            passes, not a hard cap: once the observed per-chunk iteration
+            count is known, :func:`sem_tpu.krylov.refined_gmres_host`
+            raises the pass budget to whatever ``maxiter`` total inner
+            iterations implies (its plateau/no-progress exits bound
+            unproductive looping) — tune wall-clock through ``maxiter``;
+            ``max_refine`` only guarantees a minimum refinement depth
         """
         self._iprint = list(iprint)
         self._Re = float(Re)
@@ -350,6 +364,8 @@ class NavierStokesSolver:
         self.iter_count_solve = 0   # number of _get_update calls
         self.f64_fallback_count = 0  # single-level f64 retries of the mixed
         #                              path (0 = everything through f32)
+        self.flex_retry_count = 0   # floored plain-f32 solves retried on the
+        #                             flexible row-scaled velo_inner=5 path
         self.besteffort_floor_count = 0  # floored best-effort (precon) calls
         self.last_schur_info = None
         self.last_velo_info = None
@@ -761,6 +777,49 @@ class NavierStokesSolver:
                          basis_dtype=self._basis_dtype,
                          return_hist=want_hist)
 
+        def coupled_rownorms32(ul32, vl32, jac32, key):
+            """Stochastic row-norm estimate of the f32 coupled operator:
+            ``d_i = sqrt(mean_k (A z_k)_i²)`` over 8 Rademacher probes — an
+            unbiased estimator of the squared row 2-norms.  ``D = diag(d)``
+            conditions the f32-visible norm of the row-scaled flexible
+            chunks: raw SEM rows mix stiffness- and unit-Dirichlet scales
+            spanning ~1e7, beyond f32 resolution in the raw 2-norm."""
+            mv32, _ = _coupled_ops(ul32, vl32, jac32, lp)
+
+            def step(acc, k_):
+                z = jax.random.rademacher(k_, (3 * N,), dtype=lp)
+                w = mv32(z)
+                return acc + w * w, None
+
+            acc, _ = jax.lax.scan(step, jnp.zeros(3 * N, lp),
+                                  jax.random.split(key, 8))
+            d = jnp.sqrt(acc / 8.0)
+            return jnp.maximum(d, 1e-12 * jnp.max(d))
+
+        def make_fgmres32(k):
+            """Row-scaled right-preconditioned FLEXIBLE f32 chunk (the
+            varying-preconditioner analog of ``coupled_gmres32``): solve
+            ``D⁻¹A x = D⁻¹r`` with the block preconditioner — including
+            ``k`` FDM-preconditioned GMRES steps on the TRUE shifted
+            velocity Jacobian — applied flexibly on the right.  ``dinv32``
+            is 1/d from ``coupled_rownorms32``; the caller feeds the
+            refinement residuals pre-scaled by the same ``dinv32``
+            (ROADMAP r3 design note #4)."""
+
+            def coupled_fgmres32(rp32, x032, atol32, ul32, vl32, jac32,
+                                 sigma32, dinv32):
+                mv32, pc32 = _coupled_ops(ul32, vl32, jac32, lp,
+                                          velo_inner=k)
+                x, info, hist = fgmres(
+                    lambda q: mv32(q) * dinv32, rp32, x032, atol=atol32,
+                    restart=self._restart, maxiter=2 * self._restart + 5,
+                    precon=lambda r: pc32(r / dinv32, sigma32))
+                if want_hist:
+                    return x, info, hist
+                return x, info
+
+            return jit_hoisted(coupled_fgmres32)
+
         # jit_hoisted keeps the large solver constants (operator matrices,
         # spectral/FDM transforms, boundary-ring inverse) OUT of the
         # executables: they are passed as device-resident runtime arguments
@@ -776,19 +835,41 @@ class NavierStokesSolver:
         self._cres_jit = jit_hoisted(coupled_resid)
         self._pc32_jit = jit_hoisted(coupled_pc32)
         self._gmres32_jit = jit_hoisted(coupled_gmres32)
+        self._rownorm32_jit = jit_hoisted(coupled_rownorms32)
+        # flexible chunks are built lazily per inner strength k (each is a
+        # separate megakernel — only pay its compile/load when used)
+        self._make_fgmres32 = make_fgmres32
+        self._fgmres32_jits = {}
 
-    def _update_coupled_mixed(self, res_u, res_v, res_cont, dp0, mtol):
+    def _update_coupled_mixed(self, res_u, res_v, res_cont, dp0, mtol,
+                              velo_inner=None, x0_full=None):
         """Host-level f64 iterative refinement around jitted f32 GMRES.
 
-        Left-preconditioned f32 inner solves (raw SEM row scales span ~1e7,
-        beyond f32 resolution; in the preconditioned norm the rows are O(1));
-        the f64 refinement enforces the TRUE residual tolerance and keeps the
-        best iterate.
+        Two chunk flavors (both enforce the TRUE f64 residual tolerance
+        through the refinement loop and keep the best iterate):
+
+        * ``velo_inner == 0`` (default): LEFT-preconditioned plain-GMRES f32
+          chunks (raw SEM row scales span ~1e7, beyond f32 resolution; in
+          the preconditioned norm the rows are O(1)).  Requires a fixed
+          LINEAR preconditioner.
+        * ``velo_inner == k > 0``: ROW-SCALED right-preconditioned FGMRES
+          chunks — solve ``D⁻¹A x = D⁻¹r`` with ``D`` a stochastic row-norm
+          estimate (the f32 norm conditioner replacing the left pc) and the
+          VARYING block preconditioner (k FDM-preconditioned GMRES steps on
+          the true shifted velocity Jacobian) applied flexibly on the right.
+          Offline composition data: k=5 cuts outer iterations ~2.7× on
+          convection-dominated linearizations (study/coupled_pc_diag.py).
+
+        :param velo_inner: per-call override of the constructor knob
+        :param x0_full: optional stacked (3N,) warm start (e.g. the floored
+            iterate of a previous attempt); the refinement's best-iterate
+            tracking guarantees the result is never worse than it
         """
         N = self.N
         dtype = self._dtype
         lp = jnp.float32
         eps = float(np.finfo(np.dtype(dtype)).eps)
+        k_inner = self._velo_inner if velo_inner is None else int(velo_inner)
         b = place(jnp.concatenate([place(res_u, dtype), place(res_v, dtype),
                                    place(res_cont, dtype)]), dtype)
         normb = float(jnp.linalg.norm(b))
@@ -799,12 +880,31 @@ class NavierStokesSolver:
         jac32 = tuple(j.astype(lp) for j in self._jac)
         sigma32 = jnp.asarray(self._sigma, lp)
 
-        x0 = jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
+        x0 = (jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
+              if x0_full is None else place(x0_full, dtype))
         count = [0]
 
+        if k_inner > 0:
+            dinv32 = 1.0 / self._rownorm32_jit(ul32, vl32, jac32,
+                                               jax.random.PRNGKey(0))
+            chunkf = self._fgmres32_jits.get(k_inner)
+            if chunkf is None:
+                chunkf = self._make_fgmres32(k_inner)
+                self._fgmres32_jits[k_inner] = chunkf
+            pc_lp = lambda r32: r32 * dinv32
+
+            def raw_chunk(rp, xin, atol_lp):
+                return chunkf(rp, xin, atol_lp, ul32, vl32, jac32, sigma32,
+                              dinv32)
+        else:
+            pc_lp = lambda r32: self._pc32_jit(r32, ul32, vl32, sigma32)
+
+            def raw_chunk(rp, xin, atol_lp):
+                return self._gmres32_jit(rp, xin, atol_lp, ul32, vl32,
+                                         jac32, sigma32)
+
         def chunk(rp, xin, atol_lp):
-            out = self._gmres32_jit(rp, xin, atol_lp, ul32, vl32, jac32,
-                                    sigma32)
+            out = raw_chunk(rp, xin, atol_lp)
             if len(out) == 3:   # 'LGMRES_iter' (f32 inner-loop residuals)
                 xc, infoc, hist = out
                 h = np.asarray(hist)
@@ -817,7 +917,7 @@ class NavierStokesSolver:
         x, info = refined_gmres_host(
             cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
                                           self._jac),
-            pc_lp=lambda r32: self._pc32_jit(r32, ul32, vl32, sigma32),
+            pc_lp=pc_lp,
             gmres_chunk=chunk,
             b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
             max_refine=self._max_refine)
@@ -897,24 +997,60 @@ class NavierStokesSolver:
                                    + float(jnp.vdot(dres_cont, dres_cont))))
                 atol_eff = max(mtol_f * np.sqrt(3 * self.N),
                                max(mtol_f, 50 * eps) * nb)
-                if (float(schur_info.resnorm) > 100 * atol_eff
-                        and best_effort):
+
+                def needs_rescue(info):
+                    # two useless-stall shapes: floored FAR above tolerance,
+                    # or floored with (near-)ZERO progress on the RHS — the
+                    # latter can sit *below* the 100× cut when the Newton
+                    # residual is already within ~2 decades of target, and
+                    # accepting its ~zero update freezes the outer Newton
+                    # (measured: Re=400 P=8 16×16 stagnated 8 iterations at
+                    # 3.3× target with bit-identical residuals)
+                    rn_ = float(info.resnorm)
+                    return rn_ > 100 * atol_eff or rn_ > 0.9 * nb
+
+                if needs_rescue(schur_info) and best_effort:
                     # preconditioner application: the floored iterate is a
                     # usable (weaker) preconditioner — never pay the f64 tax
                     self.besteffort_floor_count += 1
-                elif float(schur_info.resnorm) > 100 * atol_eff:
-                    self.f64_fallback_count += 1
-                    mtol_s = jnp.asarray(mtol_f, self._dtype)
-                    du, dv, dp, schur_info, velo_info, _ = self._update_jit(
-                        place(dres_u, self._dtype),
-                        place(dres_v, self._dtype),
-                        place(dres_cont, self._dtype),
-                        self._u_lin, self._v_lin, self._jac, dp0, mtol_s,
-                        jnp.asarray(self._sigma, self._dtype))
-                    if "LGMRES_suc" in self._iprint:
-                        print("NavierStokes linear solve: mixed-precision "
-                              "path floored far above tolerance; retried "
-                              "in f64")
+                elif needs_rescue(schur_info):
+                    if self._velo_inner == 0:
+                        # escalation step 1 — retry on the flexible
+                        # row-scaled f32 path with a k=5 inner velocity
+                        # solve (measured: cuts outer iterations ~2.7× on
+                        # convection-dominated linearizations, exactly the
+                        # regime where the plain chunks floor), warm-started
+                        # at the floored iterate.  Only floor-far cases pay
+                        # its extra per-application cost.
+                        self.flex_retry_count += 1
+                        out = self._update_coupled_mixed(
+                            dres_u, dres_v, dres_cont, dp0, mtol_f,
+                            velo_inner=5,
+                            x0_full=jnp.concatenate([du, dv, dp]))
+                        if float(out[3].resnorm) < float(schur_info.resnorm):
+                            du, dv, dp, schur_info, velo_info = out
+                        if "LGMRES_suc" in self._iprint:
+                            print("NavierStokes linear solve: plain f32 "
+                                  "chunks floored; flexible velo_inner=5 "
+                                  "retry reached resnorm "
+                                  f"{float(schur_info.resnorm):.3e}")
+                    if (needs_rescue(schur_info)
+                            and not bool(schur_info.converged)):
+                        # escalation step 2 — the software-f64 single-level
+                        # saddle solve
+                        self.f64_fallback_count += 1
+                        mtol_s = jnp.asarray(mtol_f, self._dtype)
+                        (du, dv, dp, schur_info, velo_info,
+                         _) = self._update_jit(
+                            place(dres_u, self._dtype),
+                            place(dres_v, self._dtype),
+                            place(dres_cont, self._dtype),
+                            self._u_lin, self._v_lin, self._jac, dp0, mtol_s,
+                            jnp.asarray(self._sigma, self._dtype))
+                        if "LGMRES_suc" in self._iprint:
+                            print("NavierStokes linear solve: mixed-"
+                                  "precision path floored far above "
+                                  "tolerance; retried in f64")
         else:
             mtol_s = jnp.asarray(mtol_f, self._dtype)
             du, dv, dp, schur_info, velo_info, hist = self._update_jit(
@@ -1022,15 +1158,18 @@ class NavierStokesSolver:
         (``_calc_jacobians(sigma=...)``) and matched by the shifted FDM and
         Schur preconditioners — the linear systems stay diagonally dominant
         (and inside the f32 mixed-precision path's attainable range) exactly
-        when the steady ones are intractable.  Δt ramps by SER (switched
-        evolution relaxation): grow by ‖F_k‖/‖F_{k+1}‖ capped at ``growth``,
-        shrink 10× on blowup; steps are always accepted otherwise (the
-        physical transient may transiently raise ‖F‖).  As Δt→∞ the step is
-        exact Newton; convergence is tested on the unchanged steady residual
-        at the same RMS tolerance as :meth:`_get_solution`.
+        when the steady ones are intractable.  The Δt schedule is the shared
+        :class:`sem_tpu.ptc.SERController` (SER ramp, blowup rejection,
+        linear-failure-gated shrink + Δt trust-region ceiling — one
+        implementation with the coupled :meth:`BoussinesqMDA._solve_ptc`).
+        As Δt→∞ the step is exact Newton; convergence is tested on the
+        unchanged steady residual at the same RMS tolerance as
+        :meth:`_get_solution`.
 
         :return: (u, v, p)
         """
+        from sem_tpu.ptc import SERController
+
         z = jnp.zeros(self.N, self._dtype)
         u = z if u0 is None else place(u0, self._dtype)
         v = z if v0 is None else place(v0, self._dtype)
@@ -1038,22 +1177,30 @@ class NavierStokesSolver:
         T = place(T, self._dtype)
         atol = ((self._mtol_newton if mtol is None else mtol)
                 * np.sqrt(self.N * 3))
-        dt = float(dt0)
+        ctrl = SERController(dt0, growth=growth, dt_max=dt_max)
         self._k = 0
         ru, rv, rc = self._get_residuals(u, v, p, T)
         norm = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
                               + jnp.vdot(rc, rc)))
         for k in range(max_steps):
             if "NEWTON_iter" in self._iprint:
-                print(f"NavierStokes PTC: {k}\t{norm}\tdt={dt:.3g}")
+                print(f"NavierStokes PTC: {k}\t{norm}\tdt={ctrl.dt:.3g}")
             if norm <= atol:
                 if "NEWTON_suc" in self._iprint:
                     print(f"NavierStokes PTC: Converged in {k} steps")
                 return u, v, p
-            self._calc_jacobians(u, v, sigma=self._Re / dt)
+            self._calc_jacobians(u, v, sigma=self._Re / ctrl.dt)
             floor = self._mtol if mtol is None else mtol
             mtol_k = max(floor, forcing_ptc * norm / np.sqrt(3 * self.N))
-            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol_k)
+            # best_effort: inside PTC the Δt controller owns recovery — a
+            # floored/failed linear solve must feed back as ``lin_failed``
+            # (Δt cut restores preconditioner dominance) instead of raising
+            # RuntimeError or paying the flex/f64 escalation ladder against
+            # a shift the controller is about to strengthen anyway (the
+            # MDA PTC path has identical semantics via its best_effort
+            # block-Jacobi preconditioner)
+            du, dv, dp = self._get_update(-ru, -rv, -rc, mtol=mtol_k,
+                                          best_effort=True)
             info = self.last_schur_info
             lin_failed = (not bool(info.converged)
                           and float(info.resnorm)
@@ -1065,24 +1212,12 @@ class NavierStokesSolver:
                                       + jnp.vdot(rcn, rcn)))
             self._k += 1
             if not np.isfinite(norm_new) or norm_new > 1e3 * max(norm, 1.0):
-                dt /= 10.0  # blowup: reject, damp hard
-                if dt < 1e-10:
+                if not ctrl.reject_blowup():
                     raise RuntimeError(
                         f"NavierStokes PTC: pseudo-time step collapsed at "
                         f"residual {norm:.3e}")
                 continue
-            ratio = norm / max(norm_new, 1e-300)
-            if lin_failed and norm_new > 0.95 * norm:
-                # the shifted linear solve stalled far from its target AND
-                # the step went nowhere: strengthen the shift instead of
-                # holding Δt — a smaller Δt restores preconditioner
-                # dominance and the SER ramp re-grows it as progress
-                # resumes.  (Slow-but-real progress with healthy linear
-                # solves is the normal transient march: never shrink Δt
-                # there — it only slows the march further.)
-                dt = max(dt * 0.5, 1e-10)
-            else:
-                dt = min(dt * min(max(ratio, 0.1), growth), dt_max)
+            ctrl.accept(norm, norm_new, lin_failed)
             u, v, p = un, vn, pn
             ru, rv, rc = run_, rvn, rcn
             norm = norm_new

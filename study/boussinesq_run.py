@@ -23,6 +23,11 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
                     (capability beyond the reference — SURVEY §5.4)
     -resume True    warm-start from that checkpoint if present (implies
                     checkpointing the continued run)
+    -velo_inner 5   strengthen every coupled-preconditioner application
+                    with k FDM-preconditioned GMRES steps on the true
+                    shifted velocity Jacobian (flexible f32 chunks) — the
+                    knob for Ra ≳ 1e7 where plain FDM velocity blocks
+                    no longer hold the block preconditioner together
 
 Run: ``python study/boussinesq_run.py -P 4 -Ne 8 -mode JNK``
 """
@@ -66,7 +71,7 @@ def run(log=False, save=True,
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
-        resume=False):
+        resume=False, velo_inner=0):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -101,7 +106,8 @@ def run(log=False, save=True,
                       mode=mode, mtol_nonlin=mtol_nonlin,
                       AGi=AGi, AGr=AGr, AGc=AGc,
                       mtol_gmres=mtol_gmres, restart=restart,
-                      mtol_internal=mtol_internal, forcing=forcing)
+                      mtol_internal=mtol_internal, forcing=forcing,
+                      velo_inner=velo_inner)
             if ckpt or resume:
                 os.makedirs("Boussinesq_study", exist_ok=True)
                 kw["checkpoint_path"] = f"Boussinesq_study/{title}.ckpt.npz"
@@ -150,6 +156,7 @@ if __name__ == "__main__":
     racont = False
     ckpt = False
     resume = False
+    velo_inner = 0
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -180,6 +187,8 @@ if __name__ == "__main__":
             ckpt = args[i + 1].lower() in ("true", "1", "yes")
         if arg == "-resume":
             resume = args[i + 1].lower() in ("true", "1", "yes")
+        if arg == "-velo_inner":
+            velo_inner = int(args[i + 1])
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -187,4 +196,5 @@ if __name__ == "__main__":
                 for Ne in Ne_set:
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
                         P=int(P), N_e=int(Ne), backend=backend,
-                        racont=racont, ckpt=ckpt, resume=resume)
+                        racont=racont, ckpt=ckpt, resume=resume,
+                        velo_inner=velo_inner)

@@ -176,6 +176,46 @@ def test_ns_pure_f64_matches_mixed_precision():
         np.testing.assert_allclose(a, b, atol=tol)
 
 
+def test_ns_velo_inner_flexible_mixed_parity():
+    """``velo_inner=5`` routes the mixed path through the row-scaled
+    right-preconditioned FLEXIBLE f32 chunks (inner FDM-preconditioned GMRES
+    on the true velocity Jacobian inside every preconditioner application)
+    and lands on the same solution as the default left-preconditioned plain
+    chunks — parity within the Newton-convergence resolution."""
+    kw = dict(Re=50.0, Gr=100.0, P=3, N_ex=3, N_ey=3, u_N=1.0,
+              mtol=1e-11, mtol_newton=1e-9, iprint=[])
+    T = None
+    sol = {}
+    for k in (0, 5):
+        ns = NavierStokesSolver(1.0, 1.0, velo_inner=k, **kw)
+        if T is None:
+            T = jnp.asarray(0.3 * np.sin(np.pi * ns.points[0]))
+        sol[k] = [np.asarray(f) for f in ns._get_solution(T)]
+        assert ns.f64_fallback_count == 0
+    for a, b, tol in zip(sol[0], sol[5], (1e-6, 1e-6, 1e-4)):
+        np.testing.assert_allclose(a, b, atol=tol)
+
+
+@pytest.mark.slow
+def test_ns_re400_p8_f32_path_zero_fallbacks():
+    """The Re=400 lid cavity at P=8 16×16 — the round-3 f32 stall case
+    (plain chunks floor; 4 single-level f64 fallbacks) — converges entirely
+    on the f32 mixed path via the flexible velo_inner=5 escalation
+    (VERDICT r3 #2 acceptance: 0 f64 fallbacks).  Also pins the
+    no-progress rescue: without it the accepted zero-update stalls froze
+    Newton at 3.3× target with bit-identical residuals."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=400.0, Gr=0.0, P=8, N_ex=16,
+                            N_ey=16, u_N=1.0, mtol=1e-9, mtol_newton=1e-8,
+                            iprint=[])
+    u, v, p = ns._get_solution(jnp.zeros(ns.N))
+    assert ns.f64_fallback_count == 0          # never left the f32 path
+    assert ns.flex_retry_count >= 1            # the flexible ladder fired
+    ru, rv, rc = ns._get_residuals(u, v, p, jnp.zeros(ns.N))
+    rms = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
+                         + jnp.vdot(rc, rc))) / np.sqrt(3 * ns.N)
+    assert rms <= 1e-8
+
+
 def test_ns_solve_continued_matches_direct():
     """Standalone-NS p-continuation reaches the direct solution within the
     Newton tolerance with a warm-started fine level."""
@@ -287,8 +327,10 @@ def test_best_effort_update_skips_f64_escalation(monkeypatch):
     ok = KrylovInfo(converged=jnp.asarray(True),
                     iterations=jnp.asarray(3, jnp.int32),
                     resnorm=jnp.asarray(0.0), stalled=jnp.asarray(False))
+    mixed_calls = []
     monkeypatch.setattr(ns, "_update_coupled_mixed",
-                        lambda *a: (z, z, z, floored, ok))
+                        lambda *a, **k: mixed_calls.append(k) or
+                        (z, z, z, floored, ok))
     f64_calls = []
     monkeypatch.setattr(ns, "_update_jit",
                         lambda *a: f64_calls.append(1) or
@@ -299,7 +341,11 @@ def test_best_effort_update_skips_f64_escalation(monkeypatch):
     assert not f64_calls                      # no f64 escalation
     assert ns.besteffort_floor_count == 1
     assert ns.f64_fallback_count == 0
+    assert ns.flex_retry_count == 0           # best-effort: no retries at all
 
     ns._get_update(b, b, b, mtol=1e-6)        # default: escalates
+    # escalation ladder: flexible velo_inner=5 f32 retry first, f64 second
+    assert ns.flex_retry_count == 1
+    assert any(k.get("velo_inner") == 5 for k in mixed_calls)
     assert f64_calls
     assert ns.f64_fallback_count == 1

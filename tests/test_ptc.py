@@ -91,6 +91,43 @@ def test_cd_sigma_shift_is_mass_diagonal():
     np.testing.assert_allclose(np.asarray(d1 - d0)[~free], 0.0, atol=1e-14)
 
 
+def test_ser_controller_semantics():
+    """Unit-pins the shared Δt controller (one implementation for the NS and
+    MDA PTC loops — VERDICT r3 #8): SER ramp with growth/shrink caps, blowup
+    damping, the linear-failure shrink, and the trust-region ceiling with
+    its relaxation."""
+    from sem_tpu.ptc import SERController
+
+    c = SERController(1.0, growth=3.0, dt_max=100.0)
+    # healthy 2x progress: dt *= 2
+    c.accept(1.0, 0.5, lin_failed=False)
+    assert c.dt == pytest.approx(2.0)
+    # huge progress is growth-capped at 3x
+    c.accept(1.0, 1e-9, lin_failed=False)
+    assert c.dt == pytest.approx(6.0)
+    # regression (residual up 100x) is shrink-capped at 10x
+    c.accept(1.0, 100.0, lin_failed=False)
+    assert c.dt == pytest.approx(0.6)
+    # blowup: reject, damp 10x, state caller-side unchanged
+    assert c.reject_blowup()
+    assert c.dt == pytest.approx(0.06)
+    # linear failure + no progress: cut 4x AND ceiling at half the failing dt
+    c.accept(1.0, 0.99, lin_failed=True)
+    assert c.dt == pytest.approx(0.015)
+    assert c.dt_ceil == pytest.approx(0.03)
+    # healthy steps relax the ceiling 1.5x and SER growth respects it
+    c.accept(1.0, 1e-9, lin_failed=False)
+    assert c.dt == pytest.approx(0.045)          # 3x growth capped by ceiling
+    assert c.dt_ceil == pytest.approx(0.045)
+    # a linear failure WITH progress keeps SER but still lowers the ceiling
+    c.accept(1.0, 0.5, lin_failed=True)
+    assert c.dt_ceil == pytest.approx(0.0225)
+    assert c.dt == pytest.approx(0.0225)
+    # dt_min floors the collapse and reject_blowup reports death below it
+    c2 = SERController(1e-10)
+    assert not c2.reject_blowup()
+
+
 def test_ptc_matches_jnk_at_moderate_ra():
     """PTC from zero lands on the same steady state as JNK (Ra=1e4,
     coarse grid): the shift vanishes as Δt→∞, so the converged answer
