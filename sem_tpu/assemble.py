@@ -38,15 +38,21 @@ __all__ = [
 ]
 
 
-def assemble(grid: Grid2D, A_e: np.ndarray):
+def assemble(grid: Grid2D, A_e: np.ndarray, as_pydata_sparse: bool = False):
     """Duplicate-summing assembly of a per-element array.
 
     :param A_e: element array with leading dims ``(N_ex, N_ey)`` and one
         (vector), two (matrix), or three (rank-3) local ``(P+1, P+1)`` index
         pairs — the reference's 4-d / 6-d / 8-d conventions
         (reference SEM.py:113-146).
-    :return: NumPy vector (4-d), SciPy CSR (6-d), or ConvectionTensor-style
-        COO-triple dict (8-d)
+    :param as_pydata_sparse: 8-d case only — return a PyData ``sparse.COO``
+        (the reference's return type, reference SEM.py:139-145; duplicate
+        coordinates sum, as there) instead of the canonical dict.  Raises
+        ``ImportError`` when the optional ``sparse`` package is absent.
+    :return: NumPy vector (4-d), SciPy CSR (6-d), or a COO-triple dict
+        ``{"coords": (3, nnz), "data": (nnz,), "shape": (N, N, N)}`` with
+        duplicate coordinates left unsummed (8-d; one canonical type
+        regardless of which optional packages are importable)
     """
     P1 = grid.P + 1
     expect = (grid.N_ex, grid.N_ey)
@@ -72,14 +78,11 @@ def assemble(grid: Grid2D, A_e: np.ndarray):
         nz = A_e != 0
         coords = np.stack([i1[nz], i2[nz], i3[nz]])
         data, shape = A_e[nz], (grid.N,) * 3
-        try:
-            # reference-parity return type (reference SEM.py:139-145 returns
-            # a PyData sparse.COO); duplicate coordinates sum, as there
-            import sparse  # optional dependency
+        if as_pydata_sparse:
+            import sparse  # optional dependency; ImportError is the caller's
 
             return sparse.COO(coords, data, shape=shape)
-        except ImportError:
-            return {"coords": coords, "data": data, "shape": shape}
+        return {"coords": coords, "data": data, "shape": shape}
     raise ValueError("element array must be 4-, 6-, or 8-dimensional")
 
 

@@ -110,10 +110,21 @@ def _mgs_sweep_live(V, w, k, cchunk, hi):
 # IDENTICAL iteration counts, solutions, and f64-fallback behavior — each
 # avoided resweep saves that iteration's second pass over the live Krylov
 # basis (the dominant per-iteration HBM cost at SEM sizes; ~3.2 of
-# 10.2 ms/it at p16).  0.25 keeps the safety net armed for genuine
-# cancellation; raise toward 1/√2 if a future solver family shows
-# orthogonality-loss symptoms (iteration inflation at tight tolerances).
-DGKS_ETA = 0.25
+# 10.2 ms/it at p16).  The aggressive default applies only to the
+# LOW-PRECISION working dtypes (the bandwidth-critical f32/bf16 inner
+# chunks, where those measurements live); f64 solves keep the classical
+# constant — they are the tight-tolerance/fallback paths, their basis
+# traffic is not the hot-loop cost, and an unmeasured solver family
+# regressing through silent orthogonality loss would show up only as
+# iteration inflation (ADVICE r3).
+DGKS_ETA = 0.25            # f32 / bfloat16 working dtypes
+DGKS_ETA_F64 = 2 ** -0.5   # float64: classical "twice is enough"
+
+_LP_DTYPES = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+
+
+def _default_eta(dtype):
+    return DGKS_ETA if jnp.dtype(dtype) in _LP_DTYPES else DGKS_ETA_F64
 
 
 def _orthogonalize(V, w, k, cchunk, hi, eta=DGKS_ETA):
@@ -211,17 +222,18 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         (bandwidth-bound) orthogonalization sweeps at the cost of a ~1e-3
         attainable-residual floor — only sensible for loose-tolerance inner
         solves; arithmetic stays in the working dtype
-    :param dgks_eta: DGKS reorthogonalization threshold (None =
-        :data:`DGKS_ETA`); each triggered resweep doubles that iteration's
-        basis traffic, reported in ``KrylovInfo.resweeps``
+    :param dgks_eta: DGKS reorthogonalization threshold (None = the
+        dtype-dependent default: :data:`DGKS_ETA` for f32/bf16,
+        :data:`DGKS_ETA_F64` for f64); each triggered resweep doubles that
+        iteration's basis traffic, reported in ``KrylovInfo.resweeps``
     :return: (x, KrylovInfo) or (x, KrylovInfo, hist)
     """
     if precon is None:
         precon = _identity
-    eta = DGKS_ETA if dgks_eta is None else float(dgks_eta)
     m = int(restart)
     n = b.shape[0]
     dtype = b.dtype
+    eta = _default_eta(dtype) if dgks_eta is None else float(dgks_eta)
     bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
@@ -363,7 +375,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
     hi = _mm_precision(dtype)
-    eta = DGKS_ETA if dgks_eta is None else float(dgks_eta)
+    eta = _default_eta(dtype) if dgks_eta is None else float(dgks_eta)
     cchunk = min(_CHUNK, m + 1)
     mp = -(-(m + 1) // cchunk) * cchunk
 

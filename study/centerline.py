@@ -23,6 +23,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+import jax
+
+# pure .npz post-processing (two tiny point-evaluator matmuls) — never
+# initialize the accelerator backend for it (the plugin's global
+# JAX_PLATFORMS=axon export would otherwise route here, and with the
+# tunnel down the first backend touch HANGS; CLAUDE.md lessons 16-17)
+jax.config.update("jax_platforms",
+                  os.environ.get("JAX_PLATFORM_NAME", "cpu"))
+
 import jax.numpy as jnp
 
 from sem_tpu.interp import PointEvaluator

@@ -67,8 +67,9 @@ def test_assemble_vector(grid):
 
 def test_assemble_rank3(grid):
     """8-d element arrays assemble to the duplicate-summed rank-3 tensor
-    (reference SEM.py:139-145); returns a PyData ``sparse.COO`` when that
-    package is importable, else an equivalent COO-triple dict."""
+    (reference SEM.py:139-145).  The canonical return is the COO-triple
+    dict regardless of which optional packages are importable; PyData
+    ``sparse.COO`` (the reference's type) is an explicit opt-in."""
     P1 = grid.P + 1
     A_e = RNG.standard_normal((grid.N_ex, grid.N_ey) + (P1,) * 6)
     out = asm.assemble(grid, A_e)
@@ -81,15 +82,19 @@ def test_assemble_rank3(grid):
     np.add.at(dense, (i1.reshape(-1), i2.reshape(-1), i3.reshape(-1)),
               A_e.reshape(-1))
 
+    assert isinstance(out, dict) and out["shape"] == (grid.N,) * 3
+    got = np.zeros((grid.N,) * 3)
+    np.add.at(got, tuple(out["coords"]), out["data"])
+    np.testing.assert_allclose(got, dense, atol=1e-12)
+
     try:
         import sparse
-        assert isinstance(out, sparse.COO)
-        got = out.todense()
     except ImportError:
-        assert out["shape"] == (grid.N,) * 3
-        got = np.zeros((grid.N,) * 3)
-        np.add.at(got, tuple(out["coords"]), out["data"])
-    np.testing.assert_allclose(got, dense, atol=1e-12)
+        sparse = None
+    if sparse is not None:   # opt-in reference-parity type
+        coo = asm.assemble(grid, A_e, as_pydata_sparse=True)
+        assert isinstance(coo, sparse.COO)
+        np.testing.assert_allclose(coo.todense(), dense, atol=1e-12)
 
 
 def test_assemble_shape_validation(grid):
