@@ -30,10 +30,35 @@ __all__ = ["make_mesh", "use_mesh", "active_mesh", "place", "field_sharding"]
 _state = threading.local()
 
 
-def make_mesh(devices=None, axis_name: str = "x") -> Mesh:
-    """1D device mesh over ``devices`` (default: all visible devices)."""
+def make_mesh(devices=None, axis_name: str = "x", dcn: bool = None) -> Mesh:
+    """Device mesh over ``devices`` (default: ALL global devices — in a
+    multi-process run, :func:`jax.devices` spans every host).
+
+    :param dcn: add a leading ``'dcn'`` mesh axis along process (= host)
+        boundaries, making the inter-host topology explicit to XLA's
+        collective scheduler: fields shard over ``('dcn', axis_name)``
+        jointly, so each host owns a contiguous x-strip block, intra-host
+        traffic rides ICI, and only the strip-boundary exchanges cross DCN
+        (SURVEY.md §5.8).  Default ``None`` = automatic (on whenever the
+        participating devices span >1 process).  The numerical layout is
+        identical to the flat 1D mesh — only the axis factorization differs.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    procs = sorted({d.process_index for d in devices})
+    if dcn is None:
+        dcn = len(procs) > 1
+    if dcn and len(procs) > 1 and len(devices) % len(procs) == 0:
+        by_proc = {p: [] for p in procs}
+        for d in devices:              # jax.devices() is process-ordered,
+            by_proc[d.process_index].append(d)  # but never rely on it
+        per = len(devices) // len(procs)
+        if all(len(v) == per for v in by_proc.values()):
+            arr = np.empty((len(procs), per), dtype=object)
+            for i, p in enumerate(procs):
+                arr[i, :] = by_proc[p]
+            return Mesh(arr, ("dcn", axis_name))
     return Mesh(np.array(devices), (axis_name,))
 
 
@@ -53,9 +78,11 @@ def use_mesh(mesh: Mesh):
 
 
 def field_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding of a flat global field: contiguous chunks along the mesh axis
-    (= grid-form row strips, an x-direction domain decomposition)."""
-    return NamedSharding(mesh, P(mesh.axis_names[0]))
+    """Sharding of a flat global field: contiguous chunks along ALL mesh
+    axes jointly (= grid-form row strips, an x-direction domain
+    decomposition).  On a 2-level ``('dcn', 'x')`` mesh the joint spec keeps
+    each host's strips contiguous, so only strip boundaries cross DCN."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def place(x, dtype=None):
