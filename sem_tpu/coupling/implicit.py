@@ -14,8 +14,13 @@ The coupled residual ``F`` is re-expressed here as a *pure traced function*
 of (state, params) — every operator in the framework is matrix-free and
 jax-traceable, so the transposed Jacobian-vector products ``J_xᵀ v`` and
 ``∂F/∂θᵀ λ`` come from ``jax.vjp`` exactly (no hand-derived adjoints).  The
-adjoint system is solved by flexible GMRES preconditioned by block-diagonal
-fast-diagonalization solves (the FDM operator is self-adjoint).
+adjoint system is solved by flexible GMRES preconditioned by the TRANSPOSED
+block-Gauss-Seidel of the forward solvers' preconditioner (NS block first,
+transposed buoyancy coupling into the CD RHS; blocks are the exact vjp
+transposes of the forward FDM / spectral-Schur applies), optionally
+strengthened by solving the true transposed diagonal blocks to
+``inner_rtol`` per application for the convection-dominated high-Ra states
+PTC reaches — the adjoint analog of the forward BGS block solves.
 
 Validated against finite differences in tests/test_implicit.py.
 """
@@ -86,41 +91,152 @@ def coupled_residual_fn(cd, ns):
     return F
 
 
-def _block_fdm_precon(cd, ns):
-    """Block-diagonal FDM preconditioner (self-adjoint, so it serves the
-    transposed system as well)."""
-    N_cd, N_ns = cd.N, ns.N
-    mass = jnp.asarray(ns.grid.mass_diag)
-    pin = ns._mask_pin
+def _block_precon_transposed(cd, ns, x_star, params,
+                             inner_rtol: float = None):
+    """Transposed block-GAUSS-SEIDEL preconditioner of ``J_xᵀ``.
 
-    @jax.jit
+    The forward high-Ra lesson transposes directly: block-Jacobi ignores the
+    buoyancy coupling and the coupled GMRES stagnates at Ra ≳ 1e5 (measured
+    both forward — ROADMAP r3, the 'bgs' PTC default — and here: the
+    block-diagonal adjoint pc stall-exited at a PTC-converged Ra=1e5
+    state).  The forward BGS is lower block-triangular
+    ``M = [[A_cd, 0], [C, A_ns]]`` (solve T, forward the coupling
+    ``C = ∂F_ns/∂T`` into the NS RHS); the adjoint uses exactly ``Mᵀ``
+    (upper block-triangular): solve the NS block FIRST, then feed the
+    TRANSPOSED coupling into the CD RHS::
+
+        z_ns = Â_nsᵀ⁻¹ r_ns
+        z_T  = Â_cdᵀ⁻¹ (r_T − Cᵀ z_ns)
+
+    with ``Cᵀ`` exact from ``jax.vjp`` (buoyancy through the cross-mesh
+    transfer — affine in T).  Block approximations:
+
+    * CD block: the FDM inverse (self-adjoint — preconditions
+      ``(K + Pe·conv)ᵀ`` exactly as well as the forward block).
+    * NS block: the exact TRANSPOSE of the forward solver's strong coupled
+      block preconditioner (spectral-Schur pressure + batched FDM velocity,
+      ``ns._pc64_fn``), obtained by ``jax.vjp`` of the linear apply.
+    * ``inner_rtol = t > 0``: convection-aware strengthening (the adjoint
+      analog of the forward block solves, VERDICT r3 #9): each application
+      SOLVES the TRUE transposed diagonal blocks (convection included, from
+      ``jax.vjp`` of the block-restricted residuals at ``x_star``) to
+      relative tolerance ``t`` by inner GMRES right-preconditioned by the
+      block approximations above — matching the strength of the forward
+      BGS preconditioner, whose blocks are full discipline solves to
+      ``mtol_precon`` (the fixed-k velocity sweeps that suffice inside the
+      forward f32 chunks are far too weak here: at a PTC-converged Ra=1e5
+      state the forward inner solves run dozens-to-hundreds of
+      iterations).  The inner solves vary per application; the host FGMRES
+      outer loop (already flexible) absorbs them.
+    """
+    N_cd, N_ns = cd.N, ns.N
+    x_star = jnp.asarray(x_star)
+    ul = x_star[N_cd:N_cd + N_ns]
+    vl = x_star[N_cd + N_ns:N_cd + 2 * N_ns]
+    zero_sigma = jnp.asarray(0.0, jnp.float64)
+    F = coupled_residual_fn(cd, ns)
+    pj = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}
+    T_star = x_star[:N_cd]
+    uvp_star = x_star[N_cd:]
+
+    # exact transpose of the (linear) forward NS block pc via vjp
+    _, pc_vjp = jax.vjp(lambda q: ns._pc64_fn(q, ul, vl, zero_sigma),
+                        jnp.zeros(3 * N_ns))
+    pcT = lambda r: pc_vjp(r)[0]
+
+    # transposed coupling Cᵀ = (∂F_ns/∂T)ᵀ at the converged state
+    _, vjp_c = jax.vjp(
+        lambda T: F(jnp.concatenate([T, uvp_star]), pj)[N_cd:], T_star)
+    CT = lambda z: vjp_c(z)[0]
+
+    if inner_rtol:
+        from sem_tpu.krylov import gmres
+
+        # true transposed diagonal blocks from vjp of the restricted
+        # residuals (the other discipline's state frozen at x_star)
+        _, vjp_ns = jax.vjp(
+            lambda q: F(jnp.concatenate([T_star, q]), pj)[N_cd:], uvp_star)
+        _, vjp_cd = jax.vjp(
+            lambda T: F(jnp.concatenate([T, uvp_star]), pj)[:N_cd], T_star)
+        rt = float(inner_rtol)
+
+        def ns_apply(r):
+            q, _ = gmres(lambda z: vjp_ns(z)[0], r,
+                         atol=rt * jnp.linalg.norm(r),
+                         restart=60, maxiter=600, precon=pcT)
+            return q
+
+        def cd_apply(r):
+            q, _ = gmres(lambda z: vjp_cd(z)[0], r,
+                         atol=rt * jnp.linalg.norm(r),
+                         restart=60, maxiter=600,
+                         precon=lambda t: cd._fdm(t))
+            return q
+    else:
+        ns_apply = pcT
+        cd_apply = lambda r: cd._fdm(r)
+
+    from sem_tpu.utils.hoist import jit_hoisted
+
+    @jit_hoisted
     def precon(r):
-        rT = r[:N_cd]
-        ru = r[N_cd:N_cd + N_ns]
-        rv = r[N_cd + N_ns:N_cd + 2 * N_ns]
-        rp = r[N_cd + 2 * N_ns:]
-        zT = cd._fdm(rT)
-        zu = ns._fdm(ru)
-        zv = ns._fdm(rv)
-        zp = jnp.where(pin, rp, rp / mass)
-        return jnp.concatenate([zT, zu, zv, zp])
+        z_ns = ns_apply(r[N_cd:])
+        z_T = cd_apply(r[:N_cd] - CT(z_ns))
+        return jnp.concatenate([z_T, z_ns])
 
     return lambda r: np.asarray(precon(jnp.asarray(r)))
 
 
 def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
-                  restart=60, maxiter=20000):
-    """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state."""
+                  restart=60, maxiter=20000, inner_rtol: float = None):
+    """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state.
+
+    The outer FGMRES runs on the ROW-SCALED transposed system
+    ``E⁻¹ Jᵀ λ = E⁻¹ g`` with ``E`` a stochastic row-norm estimate of
+    ``Jᵀ`` (8 Rademacher probes), and the convergence test applies in that
+    scaled norm: raw SEM rows mix stiffness- and unit-Dirichlet scales
+    spanning ~1e7, so the RAW residual 2-norm both overweights the stiff
+    rows and carries an f64 attainable floor far above useful tolerances
+    (measured at a PTC-converged Ra=1e5 state: hard plateau at ~1e-6
+    relative raw; the forward solves avoid the same trap with
+    left-preconditioned/row-scaled norms).  ``atol`` is the RMS tolerance
+    on the scaled residual.
+
+    :param inner_rtol: strength of the (transposed block-Gauss-Seidel)
+        preconditioner — None: one transposed-block-pc apply per block;
+        t>0: solve the true transposed diagonal blocks to relative
+        tolerance t per application (use ~1e-4 at convection-dominated
+        states, e.g. PTC-converged Ra ≳ 1e5 — the strength of the forward
+        BGS pc; see :func:`_block_precon_transposed`)
+    """
     F = coupled_residual_fn(cd, ns)
     x_star = jnp.asarray(x_star)
     params = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}
     _, vjp_x = jax.vjp(lambda x: F(x, params), x_star)
     mv = jax.jit(lambda lam: vjp_x(lam)[0])
 
+    # stochastic row-norm estimate of Jᵀ (cf. the forward flexible chunks)
+    @jax.jit
+    def rownorms(key):
+        def step(acc, k_):
+            z = jax.random.rademacher(k_, (x_star.shape[0],),
+                                      dtype=jnp.float64)
+            w = vjp_x(z)[0]
+            return acc + w * w, None
+        acc, _ = jax.lax.scan(step, jnp.zeros(x_star.shape[0]),
+                              jax.random.split(key, 8))
+        d = jnp.sqrt(acc / 8.0)
+        return jnp.maximum(d, 1e-12 * jnp.max(d))
+
+    e = rownorms(jax.random.PRNGKey(0))
+    einv = 1.0 / e
+    precon = _block_precon_transposed(cd, ns, x_star, params,
+                                      inner_rtol=inner_rtol)
+
     lam, iters, ok = _fgmres(
-        lambda z: np.asarray(mv(jnp.asarray(z))),
-        _block_fdm_precon(cd, ns),
-        np.asarray(gbar), atol=atol * np.sqrt(gbar.shape[0]),
+        lambda z: np.asarray(mv(jnp.asarray(z)) * einv),
+        lambda r: precon(np.asarray(jnp.asarray(r) * e)),
+        np.asarray(gbar * einv), atol=atol * np.sqrt(gbar.shape[0]),
         restart=restart, maxiter=maxiter)
     if not ok:
         raise RuntimeError(f"adjoint FGMRES: no convergence in {iters} "
@@ -128,19 +244,22 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     return jnp.asarray(lam), iters
 
 
-def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10):
+def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10,
+              inner_rtol: float = None):
     """Gradient of ``loss_fn(x)`` at the converged coupled state w.r.t. the
     physics parameters, by the implicit-function theorem.
 
     :param x_star: converged flat coupled state (from ``BoussinesqMDA``)
     :param loss_fn: traced scalar functional of the flat state
     :param params: dict of parameter values (``Re``, ``Ra``, ``Pr``, ...)
+    :param inner_rtol: adjoint-preconditioner strength (see
+        :func:`solve_adjoint`; use ~1e-4 at convection-dominated states)
     :return: (loss value, dict of d loss / d param)
     """
     x_star = jnp.asarray(x_star)
     loss, gbar = jax.value_and_grad(loss_fn)(x_star)
     lam, _ = solve_adjoint(cd, ns, x_star, np.asarray(gbar), params,
-                           atol=atol)
+                           atol=atol, inner_rtol=inner_rtol)
 
     F = coupled_residual_fn(cd, ns)
     pj = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}

@@ -748,6 +748,17 @@ class NavierStokesSolver:
             hist = out[2] if want_hist else jnp.zeros(0, dtype)
             return q[:N], q[N:2 * N], q[2 * N:], info, info, hist
 
+        def coupled_pc64(r, ul, vl, sigma):
+            """The f64 coupled block preconditioner as a standalone traceable
+            apply (spectral-Schur pressure block + batched FDM velocity).
+            Exposed for reuse by the implicit-adjoint solver
+            (sem_tpu.coupling.implicit), which applies its exact TRANSPOSE
+            via ``jax.vjp`` — the apply is linear in ``r``."""
+            _, pcx = _coupled_ops(ul, vl,
+                                  tuple(jnp.zeros(N, dtype)
+                                        for _ in range(4)), dtype)
+            return pcx(r, sigma)
+
         # --- separately-jitted pieces of the mixed-precision refinement ---
         # The refinement loop itself runs at host level (<= max_refine trips,
         # negligible dispatch cost): one all-fused megakernel (while-in-
@@ -836,6 +847,7 @@ class NavierStokesSolver:
         self._pc32_jit = jit_hoisted(coupled_pc32)
         self._gmres32_jit = jit_hoisted(coupled_gmres32)
         self._rownorm32_jit = jit_hoisted(coupled_rownorms32)
+        self._pc64_fn = coupled_pc64    # traceable; vjp-able (adjoints)
         # flexible chunks are built lazily per inner strength k (each is a
         # separate megakernel — only pay its compile/load when used)
         self._make_fgmres32 = make_fgmres32
