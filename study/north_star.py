@@ -25,6 +25,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORM_NAME"):
+    # make JAX_PLATFORM_NAME authoritative: the accelerator plugin exports
+    # JAX_PLATFORMS globally, which would otherwise override it
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORM_NAME"])
+
 import jax.numpy as jnp
 
 from sem_tpu.coupling.boussinesq import build_coupled

@@ -14,6 +14,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORM_NAME"):
+    # make JAX_PLATFORM_NAME authoritative: the accelerator plugin exports
+    # JAX_PLATFORMS globally, which would otherwise override it
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORM_NAME"])
+
 import jax.numpy as jnp
 
 from sem_tpu.models.navier_stokes import NavierStokesSolver
