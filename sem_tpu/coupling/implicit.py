@@ -184,11 +184,15 @@ def _block_precon_transposed(cd, ns, x_star, params,
         z_T = cd_apply(r[:N_cd] - CT(z_ns))
         return jnp.concatenate([z_T, z_ns])
 
-    return lambda r: np.asarray(precon(jnp.asarray(r)))
+    # device-native callable: the host FGMRES keeps every n-sized vector on
+    # the device, and a np.asarray round trip here re-creates the exact
+    # tunnel pathology it was built to avoid (~2 full-vector transfers per
+    # outer iteration at p16; mda._fgmres docstring)
+    return precon
 
 
 def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
-                  restart=60, maxiter=20000, inner_rtol: float = None):
+                  restart=60, maxiter=20000, inner_rtol: float = 1e-4):
     """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state.
 
     The outer FGMRES runs on the ROW-SCALED transposed system
@@ -203,11 +207,14 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     on the scaled residual.
 
     :param inner_rtol: strength of the (transposed block-Gauss-Seidel)
-        preconditioner — None: one transposed-block-pc apply per block;
-        t>0: solve the true transposed diagonal blocks to relative
-        tolerance t per application (use ~1e-4 at convection-dominated
-        states, e.g. PTC-converged Ra ≳ 1e5 — the strength of the forward
-        BGS pc; see :func:`_block_precon_transposed`)
+        preconditioner — t>0 (default 1e-4, the strength of the forward
+        BGS pc, whose blocks are full 1e-4 discipline solves): solve the
+        true transposed diagonal blocks to relative tolerance t per
+        application; None: one transposed-block-pc apply per block — the
+        cheap variant, which stalls already on MILD states (measured:
+        1420-iteration stall at a JNK-converged Ra=1e3 state where
+        inner_rtol=1e-4 converges in ~300), so only use it when profiling
+        shows the inner solves dominating AND the outer converges
     """
     F = coupled_residual_fn(cd, ns)
     x_star = jnp.asarray(x_star)
@@ -216,27 +223,21 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     mv = jax.jit(lambda lam: vjp_x(lam)[0])
 
     # stochastic row-norm estimate of Jᵀ (cf. the forward flexible chunks)
-    @jax.jit
-    def rownorms(key):
-        def step(acc, k_):
-            z = jax.random.rademacher(k_, (x_star.shape[0],),
-                                      dtype=jnp.float64)
-            w = vjp_x(z)[0]
-            return acc + w * w, None
-        acc, _ = jax.lax.scan(step, jnp.zeros(x_star.shape[0]),
-                              jax.random.split(key, 8))
-        d = jnp.sqrt(acc / 8.0)
-        return jnp.maximum(d, 1e-12 * jnp.max(d))
-
-    e = rownorms(jax.random.PRNGKey(0))
+    from sem_tpu.krylov import rownorm_estimate
+    e = jax.jit(lambda key: rownorm_estimate(
+        lambda z: vjp_x(z)[0], x_star.shape[0], jnp.float64, key))(
+            jax.random.PRNGKey(0))
     einv = 1.0 / e
     precon = _block_precon_transposed(cd, ns, x_star, params,
                                       inner_rtol=inner_rtol)
 
+    # all callables device-native: _fgmres keeps every n-sized vector on
+    # the device (host round trips per callback were the measured p16
+    # pathology its docstring records)
     lam, iters, ok = _fgmres(
-        lambda z: np.asarray(mv(jnp.asarray(z)) * einv),
-        lambda r: precon(np.asarray(jnp.asarray(r) * e)),
-        np.asarray(gbar * einv), atol=atol * np.sqrt(gbar.shape[0]),
+        lambda z: mv(z) * einv,
+        lambda r: precon(r * e),
+        jnp.asarray(gbar) * einv, atol=atol * np.sqrt(gbar.shape[0]),
         restart=restart, maxiter=maxiter)
     if not ok:
         raise RuntimeError(f"adjoint FGMRES: no convergence in {iters} "
@@ -245,7 +246,7 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
 
 
 def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10,
-              inner_rtol: float = None):
+              inner_rtol: float = 1e-4):
     """Gradient of ``loss_fn(x)`` at the converged coupled state w.r.t. the
     physics parameters, by the implicit-function theorem.
 
@@ -253,7 +254,7 @@ def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10,
     :param loss_fn: traced scalar functional of the flat state
     :param params: dict of parameter values (``Re``, ``Ra``, ``Pr``, ...)
     :param inner_rtol: adjoint-preconditioner strength (see
-        :func:`solve_adjoint`; use ~1e-4 at convection-dominated states)
+        :func:`solve_adjoint`; the 1e-4 default matches the forward BGS)
     :return: (loss value, dict of d loss / d param)
     """
     x_star = jnp.asarray(x_star)

@@ -29,7 +29,27 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["gmres", "fgmres", "refined_gmres_host", "cg",
-           "KrylovInfo"]
+           "KrylovInfo", "rownorm_estimate"]
+
+
+def rownorm_estimate(matvec: "Callable", n: int, dtype, key,
+                     probes: int = 8):
+    """Stochastic row-norm estimate of a linear operator:
+    ``d_i = sqrt(mean_k (A z_k)_i²)`` over Rademacher probes ``z_k`` — an
+    unbiased estimator of the squared row 2-norms.  ``diag(d)`` is the
+    standard norm conditioner for SEM systems, whose raw rows mix
+    stiffness- and unit-Dirichlet scales spanning ~1e7 (used by the
+    row-scaled flexible f32 chunks and the adjoint outer solve).  Floored
+    at ``1e-12·max(d)`` so reciprocals are safe.  Traceable (jit-safe)."""
+    def step(acc, k_):
+        z = jax.random.rademacher(k_, (n,), dtype=dtype)
+        w = matvec(z)
+        return acc + w * w, None
+
+    acc, _ = lax.scan(step, jnp.zeros(n, dtype),
+                      jax.random.split(key, probes))
+    d = jnp.sqrt(acc / probes)
+    return jnp.maximum(d, 1e-12 * jnp.max(d))
 
 
 class KrylovInfo(NamedTuple):
@@ -348,7 +368,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
 def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
            atol, restart: int = 20, maxiter: int = 1000,
-           precon: Callable, dgks_eta: float = None):
+           precon: Callable, dgks_eta: float = None, basis_dtype=None):
     """Flexible GMRES(m): right preconditioner may vary per application.
 
     The coupled-MDA Krylov solver (reference Boussinesq_SequentialCoupler.py
@@ -362,7 +382,10 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     Shares the per-iteration economics of :func:`gmres` (VERDICT r2 #7):
     live-chunk block-MGS sweeps with the DGKS-selective second sweep, the
     associative-scan Givens chain, the in-cycle plateau detection for
-    low-precision dtypes, and the true-residual-qualified stall semantics.
+    low-precision dtypes, the true-residual-qualified stall semantics, and
+    ``basis_dtype`` (storage dtype of the Arnoldi basis ``V`` only — the
+    flexible basis ``Z`` holds the solution update and stays in the working
+    dtype).
 
     :return: ``(x, KrylovInfo, res_hist)`` — ``res_hist[j]`` is the
         recurrence residual after outer iteration j (padded with the final
@@ -372,6 +395,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     m = int(restart)
     n = b.shape[0]
     dtype = b.dtype
+    bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
     eps_tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     atol = jnp.asarray(atol, dtype)
     hi = _mm_precision(dtype)
@@ -384,8 +408,8 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     def new_cycle(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((mp, n), dtype).at[0].set(
-            r / jnp.maximum(beta, eps_tiny))
+        V = jnp.zeros((mp, n), bdt).at[0].set(
+            (r / jnp.maximum(beta, eps_tiny)).astype(bdt))
         Z = jnp.zeros((m, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
@@ -408,13 +432,13 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
         (x, V, Z, H, cs, sn, g, k, it, res, done, cycle_res, stalled,
          hist, nresweep) = state
 
-        z = precon(V[k])
+        z = precon(V[k].astype(dtype))
         w = matvec(z)
         Z = Z.at[k].set(z)
         w, h, hk1, resw = _orthogonalize(V, w, k, cchunk, hi, eta)
         nresweep = nresweep + resw
         h = h[:m + 1].at[k + 1].set(hk1)
-        V = V.at[k + 1].set(w / jnp.maximum(hk1, eps_tiny))
+        V = V.at[k + 1].set((w / jnp.maximum(hk1, eps_tiny)).astype(bdt))
 
         h, cs, sn, g, res = _givens_update(h, cs, sn, g, k, m, eps_tiny)
         H = H.at[:, k].set(h)

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from sem_tpu import operators as ops
 from sem_tpu.fdm import FDM2D
 from sem_tpu.interp import PointEvaluator
-from sem_tpu.krylov import fgmres, gmres, refined_gmres_host
+from sem_tpu.krylov import (fgmres, gmres, refined_gmres_host,
+                            rownorm_estimate)
 from sem_tpu.mesh import Grid2D
 from sem_tpu.parallel.sharding import place
 
@@ -789,23 +790,13 @@ class NavierStokesSolver:
                          return_hist=want_hist)
 
         def coupled_rownorms32(ul32, vl32, jac32, key):
-            """Stochastic row-norm estimate of the f32 coupled operator:
-            ``d_i = sqrt(mean_k (A z_k)_i²)`` over 8 Rademacher probes — an
-            unbiased estimator of the squared row 2-norms.  ``D = diag(d)``
+            """Stochastic row-norm estimate of the f32 coupled operator
+            (:func:`sem_tpu.krylov.rownorm_estimate`).  ``D = diag(d)``
             conditions the f32-visible norm of the row-scaled flexible
             chunks: raw SEM rows mix stiffness- and unit-Dirichlet scales
             spanning ~1e7, beyond f32 resolution in the raw 2-norm."""
             mv32, _ = _coupled_ops(ul32, vl32, jac32, lp)
-
-            def step(acc, k_):
-                z = jax.random.rademacher(k_, (3 * N,), dtype=lp)
-                w = mv32(z)
-                return acc + w * w, None
-
-            acc, _ = jax.lax.scan(step, jnp.zeros(3 * N, lp),
-                                  jax.random.split(key, 8))
-            d = jnp.sqrt(acc / 8.0)
-            return jnp.maximum(d, 1e-12 * jnp.max(d))
+            return rownorm_estimate(mv32, 3 * N, lp, key)
 
         def make_fgmres32(k):
             """Row-scaled right-preconditioned FLEXIBLE f32 chunk (the
@@ -824,6 +815,7 @@ class NavierStokesSolver:
                 x, info, hist = fgmres(
                     lambda q: mv32(q) * dinv32, rp32, x032, atol=atol32,
                     restart=self._restart, maxiter=2 * self._restart + 5,
+                    basis_dtype=self._basis_dtype,
                     precon=lambda r: pc32(r / dinv32, sigma32))
                 if want_hist:
                     return x, info, hist
@@ -1039,17 +1031,26 @@ class NavierStokesSolver:
                             dres_u, dres_v, dres_cont, dp0, mtol_f,
                             velo_inner=5,
                             x0_full=jnp.concatenate([du, dv, dp]))
-                        if float(out[3].resnorm) < float(schur_info.resnorm):
+                        adopted = (float(out[3].resnorm)
+                                   < float(schur_info.resnorm))
+                        if adopted:
                             du, dv, dp, schur_info, velo_info = out
                         if "LGMRES_suc" in self._iprint:
                             print("NavierStokes linear solve: plain f32 "
                                   "chunks floored; flexible velo_inner=5 "
                                   "retry reached resnorm "
-                                  f"{float(schur_info.resnorm):.3e}")
-                    if (needs_rescue(schur_info)
-                            and not bool(schur_info.converged)):
+                                  f"{float(out[3].resnorm):.3e} "
+                                  + ("(adopted)" if adopted else
+                                     "(worse — kept plain-chunk iterate)"))
+                    if (not bool(schur_info.converged)
+                            and (needs_rescue(schur_info)
+                                 or not bool(schur_info.stalled))):
                         # escalation step 2 — the software-f64 single-level
-                        # saddle solve
+                        # saddle solve.  Also fires when the (possibly
+                        # retried) iterate sits below the rescue thresholds
+                        # but is non-converged AND non-stalled: that state
+                        # would raise at the fail-fast check below, where
+                        # round-3 semantics always rescued in f64 first.
                         self.f64_fallback_count += 1
                         mtol_s = jnp.asarray(mtol_f, self._dtype)
                         (du, dv, dp, schur_info, velo_info,

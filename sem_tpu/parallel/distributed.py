@@ -68,6 +68,19 @@ def init_distributed(coordinator_address: str = None,
                 flags
                 + f" --xla_force_host_platform_device_count"
                   f"={int(local_device_count)}").strip()
+        else:
+            import re
+            m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                          flags)
+            if m and int(m.group(1)) != int(local_device_count):
+                # never silently ignore the explicit request: the global
+                # mesh shape would differ from what the caller asked for,
+                # breaking far from the cause
+                raise ValueError(
+                    f"init_distributed(local_device_count="
+                    f"{local_device_count}) conflicts with XLA_FLAGS "
+                    f"already forcing {m.group(1)} host devices; unset "
+                    f"XLA_FLAGS or drop the argument")
     coordinator_address = (coordinator_address
                            or os.environ.get("SEM_TPU_COORDINATOR"))
     if num_processes is None and os.environ.get("SEM_TPU_NUM_PROCESSES"):

@@ -47,18 +47,35 @@ def make_mesh(devices=None, axis_name: str = "x", dcn: bool = None) -> Mesh:
         devices = jax.devices()
     devices = list(devices)
     procs = sorted({d.process_index for d in devices})
+    explicit = dcn is not None
     if dcn is None:
         dcn = len(procs) > 1
-    if dcn and len(procs) > 1 and len(devices) % len(procs) == 0:
+    if dcn and len(procs) > 1:
         by_proc = {p: [] for p in procs}
         for d in devices:              # jax.devices() is process-ordered,
             by_proc[d.process_index].append(d)  # but never rely on it
         per = len(devices) // len(procs)
-        if all(len(v) == per for v in by_proc.values()):
+        if (len(devices) % len(procs) == 0
+                and all(len(v) == per for v in by_proc.values())):
             arr = np.empty((len(procs), per), dtype=object)
             for i, p in enumerate(procs):
                 arr[i, :] = by_proc[p]
             return Mesh(arr, ("dcn", axis_name))
+        # uneven per-process device counts cannot factor along the host
+        # boundary.  An EXPLICIT dcn=True request errors (downstream code
+        # keyed on the ('dcn', axis) factorization would break far from
+        # the cause); the automatic default degrades to the flat 1D mesh,
+        # which is numerically equivalent.
+        if explicit:
+            raise ValueError(
+                f"make_mesh(dcn=True): cannot factor {len(devices)} devices "
+                f"into a ('dcn', '{axis_name}') mesh — per-process device "
+                f"counts are uneven: "
+                f"{ {p: len(v) for p, v in by_proc.items()} }")
+    elif dcn and explicit and len(procs) <= 1:
+        raise ValueError(
+            "make_mesh(dcn=True): only one process participates — there is "
+            "no host boundary to factor (did init_distributed run?)")
     return Mesh(np.array(devices), (axis_name,))
 
 

@@ -111,6 +111,32 @@ def test_gmres_dgks_eta_controls_resweeps():
                                    atol=1e-8)
 
 
+def test_fgmres_basis_dtype_and_varying_precon():
+    """fgmres honors basis_dtype (bf16 Arnoldi basis, f32 arithmetic and
+    flexible basis) and converges under a deliberately VARYING right
+    preconditioner — the contract the row-scaled flexible chunks rely on."""
+    from sem_tpu.krylov import fgmres
+
+    n = 96
+    A = 10.0 * np.eye(n) + RNG.standard_normal((n, n)) / np.sqrt(n)
+    x_true = RNG.standard_normal(n)
+    b = (A @ x_true).astype(np.float32)
+    Aj = jnp.asarray(A, jnp.float32)
+
+    def precon(r):
+        # varies per application: alternating damping (nonlinear in call
+        # order, linear per call) — plain GMRES would break on this
+        return r / 10.0 * (1.0 + 0.3 * jnp.sin(jnp.sum(jnp.abs(r))))
+
+    x, info, _ = fgmres(lambda v: Aj @ v, jnp.asarray(b), atol=1e-4,
+                        restart=30, maxiter=300, precon=precon,
+                        basis_dtype=jnp.bfloat16)
+    assert bool(info.converged)
+    got = np.asarray(x, np.float64)
+    assert np.linalg.norm(A @ got - np.asarray(b, np.float64)) <= 1e-4
+    np.testing.assert_allclose(got, x_true, rtol=2e-4, atol=2e-4)
+
+
 def test_cg_spd():
     A, x_true, b = _random_system(90, sym=True)
     Aj = jnp.asarray(A)

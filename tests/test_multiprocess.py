@@ -62,6 +62,32 @@ print(f"MP_OK pid={pid}", flush=True)
 """
 
 
+def test_make_mesh_explicit_dcn_errors_single_process():
+    """An EXPLICIT dcn=True with no host boundary must error, not silently
+    return a flat mesh that downstream ('dcn', 'x')-keyed code trips over."""
+    import pytest
+
+    from sem_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="only one process"):
+        make_mesh(dcn=True)
+    # the automatic default stays silent and flat
+    assert make_mesh().axis_names == ("x",)
+
+
+def test_init_distributed_rejects_conflicting_device_count(monkeypatch):
+    """local_device_count conflicting with an XLA_FLAGS override must raise,
+    not silently produce a different global mesh shape."""
+    import pytest
+
+    from sem_tpu.parallel import init_distributed
+
+    monkeypatch.setenv("XLA_FLAGS",
+                       "--xla_force_host_platform_device_count=8")
+    with pytest.raises(ValueError, match="conflicts with XLA_FLAGS"):
+        init_distributed("127.0.0.1:1", 1, 0, local_device_count=2)
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
