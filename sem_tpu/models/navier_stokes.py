@@ -496,6 +496,17 @@ class NavierStokesSolver:
             """
             Zx = self._spec["Zx"].astype(xdtype)
             Zy = self._spec["Zy"].astype(xdtype)
+            # edge-only stiffness constants for the boundary-row elimination
+            # (see apply_): K(dp_z) is needed only on the boundary ring, and
+            # with dp_z zero on all edges those values reduce to two THIN
+            # matmuls — K1x's first/last rows against dp_z, and dp_z's
+            # interior rows against K1y's first/last columns (the
+            # cross-direction terms vanish on zero edge slabs) — replacing
+            # the two full-size stiffness matmuls (VERDICT r3 #4).
+            K1e = grid.K1x[[0, -1], :].astype(xdtype)
+            K1yTe = grid.K1y[[0, -1], :].T.astype(xdtype)
+            m1y_np = grid.m1y.astype(xdtype)
+            m1x_in = grid.m1x[1:-1].astype(xdtype)
             esum_np = self._spec["esum"]
             scale = float(np.max(np.abs(esum_np)))
             # only the exact (constant ⊗ constant) null mode is cut — the
@@ -518,9 +529,14 @@ class NavierStokesSolver:
                 # exact boundary-row elimination: dp_b = K_bb⁻¹(r_b − K_bi dp_i)
                 dp_z = edges_set(dp_g, jnp.zeros(2 * Ngy + 2 * (Ngx - 2),
                                                  xdtype))
-                z = ops.apply_stiffness(grid, dp_z.reshape(-1))
+                # ring values of K(dp_z) via two thin matmuls (constants
+                # precomputed above; exact — dp_z edges are zero)
+                zrows = jnp.matmul(K1e, dp_z, precision=hi) * m1y_np[None, :]
+                zcols = jnp.matmul(dp_z[1:-1, :], K1yTe, precision=hi) \
+                    * m1x_in[:, None]
+                zb = jnp.concatenate([zrows[0], zrows[1],
+                                      zcols[:, 0], zcols[:, 1]])
                 rb = edges_get(rp.reshape(Ngx, Ngy))
-                zb = edges_get(z.reshape(Ngx, Ngy))
                 dp_b = jnp.matmul(Kbb_inv, rb - zb, precision=hi)
                 dp = edges_set(dp_z, dp_b).reshape(-1)
                 return jnp.where(pin, rp, dp)
