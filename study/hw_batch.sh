@@ -8,6 +8,7 @@
 # Steps:
 #   bench        bench.py (BENCH operator-apply + coupled-solve numbers)
 #   oplat        op_latency.py (per-op matmul latency -> pc fusion decision)
+#   pclat        pc_latency.py (p16 pc-chain decomposition + fusion candidate)
 #   econ         krylov_econ --direct (eta=0.25 ms/it confirmation, p16)
 #   north        north_star --short (ladder solve wall-clock)
 #   ra1e7        PTC p16 64x64 Ra=1e7 with velo_inner=5 + checkpointing
@@ -29,6 +30,7 @@ for s in "${steps[@]}"; do
   case "$s" in
     bench)  run bench 3000 python bench.py ;;
     oplat)  run oplat 1200 python study/op_latency.py ;;
+    pclat)  run pclat 2400 python study/pc_latency.py ;;
     econ)   run econ 3600 python study/krylov_econ.py --direct ;;
     north)  run north 3600 python study/north_star.py --short ;;
     ra1e7)  run ra1e7 28800 python study/boussinesq_run.py -P 16 -Ne 64 \

@@ -38,15 +38,20 @@ from sem_tpu.coupling.mda import CoupledState
 from sem_tpu.interp import apply_transfer
 
 
-def instrument_phases(ns, cd):
+def instrument_phases(ns, cd, mda=None):
     """Wall-clock attribution of the jitted solver programs (synchronized —
-    adds per-call block_until_ready, so totals are upper bounds)."""
+    adds per-call block_until_ready, so totals are upper bounds).
+
+    Hooks EVERY ``*_jit`` attribute on the discipline solvers generically,
+    plus the lazily-built programs (the NS flexible f32 chunks per
+    ``velo_inner`` k, the MDA device-JNK cycle) and the MDA host-FGMRES
+    device helpers — the round-4 direct-p16 profile showed ~19 s of a 28 s
+    cached solve outside the previously hooked set."""
     import jax
     phases = {}
 
-    def wrap(obj, name, key):
-        fn = getattr(obj, name)
-        phases[key] = {"t": 0.0, "n": 0}
+    def timed_fn(fn, key):
+        phases.setdefault(key, {"t": 0.0, "n": 0})
 
         def timed(*a, **k):
             t0 = time.perf_counter()
@@ -55,19 +60,44 @@ def instrument_phases(ns, cd):
             phases[key]["n"] += 1
             return out
 
-        setattr(obj, name, timed)
+        return timed
 
-    wrap(ns, "_cres_jit", "ns.cres_f64")
-    wrap(ns, "_pc32_jit", "ns.pc32")
-    wrap(ns, "_gmres32_jit", "ns.gmres32_chunk")
-    wrap(ns, "_residual_jit", "ns.residual_f64")
-    wrap(ns, "_jac_diags_jit", "ns.jac_diags_f64")
-    wrap(ns, "_dres_jit", "ns.dres_f64")
-    for name in ("_cres_jit", "_pc32_jit", "_gmres32_jit", "_residual_jit",
-                 "_jac_diags_jit", "_update_jit", "_dres_jit"):
-        if hasattr(cd, name):
-            wrap(cd, name, "cd." + name.strip("_"))
+    def wrap(obj, name, key):
+        setattr(obj, name, timed_fn(getattr(obj, name), key))
+
+    for obj, tag in ((ns, "ns"), (cd, "cd")):
+        for name in sorted(vars(obj)):
+            if name.endswith("_jit") and callable(getattr(obj, name)):
+                wrap(obj, name, f"{tag}.{name.strip('_')[:-4]}")
+
+    # lazily-built flexible f32 chunk programs (escalation ladder / PTC)
+    for obj, tag in ((ns, "ns"), (cd, "cd")):
+        mk = getattr(obj, "_make_fgmres32", None)
+        if mk is not None:
+            def make_wrapped(mk=mk, tag=tag):
+                def wrapped(k):
+                    return timed_fn(mk(k), f"{tag}.fgmres32_k{k}")
+                return wrapped
+            obj._make_fgmres32 = make_wrapped()
+
+    if mda is not None:
+        orig_build = mda._build_jnk_cycle
+
+        def build_wrapped():
+            return timed_fn(orig_build(), "mda.jnk_cycle")
+
+        mda._build_jnk_cycle = build_wrapped
+        # host-FGMRES device helpers (module-level jits, small per call)
+        import sem_tpu.coupling.mda as mdamod
+        for name in ("_fg_row", "_fg_read_row", "_fg_cgs2"):
+            if hasattr(mdamod, name) and name not in _FG_WRAPPED:
+                setattr(mdamod, name,
+                        timed_fn(getattr(mdamod, name), f"mda.{name[1:]}"))
+                _FG_WRAPPED.add(name)
     return phases
+
+
+_FG_WRAPPED = set()
 
 
 def print_phases(phases, label):
@@ -135,7 +165,7 @@ def main():
         t0 = time.perf_counter()
         cd, ns, mda = build_coupled(1.0, 1.0, P_cd=16, P_ns=16, **KW)
         tot = instrument_ns(ns)
-        phases = instrument_phases(ns, cd)
+        phases = instrument_phases(ns, cd, mda)
         print(f"build p16: {time.perf_counter() - t0:.1f}s", flush=True)
         for tag in ("compile", "cached"):
             tot.update(calls=0, iters=0, resweeps=0)
