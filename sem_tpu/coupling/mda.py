@@ -549,6 +549,11 @@ class BoussinesqMDA:
                 x, b, cd_s._u, cd_s._v, cd_s._jac_diag_u, cd_s._jac_diag_v,
                 ns_s._u_lin, ns_s._v_lin, ns_s._jac, atol,
                 cd_sigma, ns_sigma)
+            # ONE blocking transfer for all per-window scalars: each host
+            # read of a device scalar is a full accelerator round trip
+            # (~1 ms dispatch floor over the tunnel), and this loop ran 4
+            # reads per window
+            info = jax.device_get(info)
             done = int(info.iterations)
             if self.iprint:
                 for j in range(done):

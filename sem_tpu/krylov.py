@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["gmres", "fgmres", "refined_gmres_host", "cg",
@@ -548,7 +549,7 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
             rn0 = rn
         if rn < rn_best:
             x_best, rn_best = x, rn
-        if rn <= atol or not jnp.isfinite(rn):
+        if rn <= atol or not np.isfinite(rn):
             plateau = False
             break
         if rn > 0.9 * prev:
@@ -567,13 +568,18 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                 break
         prev = rn
         rp = pc_lp(r.astype(lp_dtype))
-        rpn = float(jnp.linalg.norm(rp))
         # learned attainable floor: once a chunk ends non-converged, its
         # final (relative) residual is the f32 floor of this preconditioned
         # system — later passes ask only for what is attainable instead of
-        # grinding toward an unreachable fixed inner_rtol
-        atol_lp = jnp.asarray(max(inner_eff, 2.0 * floor_rel) * rpn,
-                              lp_dtype)
+        # grinding toward an unreachable fixed inner_rtol.  ``atol_lp`` is
+        # computed ON DEVICE (‖rp‖ is not read back before the chunk): every
+        # host read of a device scalar is a blocking accelerator round trip,
+        # and this loop's per-pass reads (‖rp‖ + five KrylovInfo fields,
+        # each a separate trip) measured as ~19 s of a 28.3 s direct-p16
+        # solve over the tunnel — the chunk itself was 2.2 s.
+        rpn_dev = jnp.linalg.norm(rp)
+        atol_lp = (jnp.asarray(max(inner_eff, 2.0 * floor_rel), lp_dtype)
+                   * rpn_dev.astype(lp_dtype))
         # ONE bounded chunk per refinement pass, then always hand back to
         # the f64 refinement: a refinement pass costs ~2 operator applies
         # while a chunk costs hundreds of Krylov iterations, so retrying at
@@ -582,13 +588,16 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
         # gaining 3%) can never pay off — the f64 pass re-poses the system
         # about the new iterate and the next chunk starts fresh
         xin, info = gmres_chunk(rp, jnp.zeros_like(rp), atol_lp)
-        total_it += int(info.iterations)
-        total_resweeps += int(info.resweeps)
-        chunk_iters_max = max(chunk_iters_max, int(info.iterations), 1)
+        # ONE blocking transfer for all post-chunk scalars
+        info_h, rpn = jax.device_get((info, rpn_dev))
+        total_it += int(info_h.iterations)
+        total_resweeps += int(info_h.resweeps)
+        chunk_iters_max = max(chunk_iters_max, int(info_h.iterations), 1)
         passes_cap = max(max_refine + 1, -(-maxiter // chunk_iters_max))
-        last_inner_floored = bool(info.stalled) or int(info.iterations) == 0
-        if not bool(info.converged) and rpn > 0.0:
-            floor_rel = max(floor_rel, float(info.resnorm) / rpn)
+        last_inner_floored = (bool(info_h.stalled)
+                              or int(info_h.iterations) == 0)
+        if not bool(info_h.converged) and rpn > 0.0:
+            floor_rel = max(floor_rel, float(info_h.resnorm) / rpn)
         x = x + xin.astype(dtype)
         passes += 1
         if total_it >= maxiter:
