@@ -238,7 +238,10 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
         lambda z: mv(z) * einv,
         lambda r: precon(r * e),
         jnp.asarray(gbar) * einv, atol=atol * np.sqrt(gbar.shape[0]),
-        restart=restart, maxiter=maxiter)
+        restart=restart, maxiter=maxiter,
+        # full-precision outer basis: the adjoint is validated to 1e-6
+        # RAW-relative in one solve — at/below the f32 refinement floor
+        basis_dtype=jnp.float64)
     if not ok:
         raise RuntimeError(f"adjoint FGMRES: no convergence in {iters} "
                            f"iterations")

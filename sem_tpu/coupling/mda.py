@@ -120,11 +120,15 @@ def _fg_cgs2(V, w, k):
 
 @jax.jit
 def _fg_update(x, Z, y):
-    """x + Zᵀy with ``y`` zero-padded to the full window (dead rows × 0)."""
-    return x + jnp.matmul(Z.T, y, precision=lax.Precision.HIGHEST)
+    """x + Zᵀy with ``y`` zero-padded to the full window (dead rows × 0).
+    The product runs in the (f32) basis dtype and accumulates into the
+    (f64) iterate dtype."""
+    return x + jnp.matmul(Z.T, y,
+                          precision=lax.Precision.HIGHEST).astype(x.dtype)
 
 
-def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
+def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
+            basis_dtype=jnp.float32):
     """Host-orchestrated flexible GMRES with DEVICE-resident vectors.
 
     Control flow, the small Hessenberg recurrence, and the Givens rotations
@@ -147,7 +151,22 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
     second sweep (CGS2): two (m+1, n) device matmuls per sweep, cheap at
     outer-window sizes (m ≈ 20), and the outer basis must stay orthogonal
     through the inexact/varying inner block solves.
+
+    The padded V/Z buffers and the CGS2 products default to FLOAT32: f64
+    matmuls are software-emulated on the MXU, and the f64 CGS2 step
+    measured ~0.8 s per outer iteration at p16 (11 of a 30 s direct JNK
+    solve — the single largest program cost).  f32 is safe for the hot
+    JNK/PTC loops for the same reason the discipline chunks are: every
+    window restarts from the TRUE f64 residual ``b - A x`` (computed
+    outside the basis), so basis roundoff bounds the per-window reduction
+    (~1e-7 relative of the window's start), and the inexact-Newton forcing
+    tolerances (≥1e-4 relative) sit far above it; the update ``x + Zᵀy``
+    accumulates into the f64 iterate.  Callers needing reductions at/below
+    the f32 refinement floor in one solve (the implicit adjoint, tested to
+    1e-6 RAW-relative on convection-dominated states) pass
+    ``basis_dtype=b.dtype``.
     """
+    lp = basis_dtype
     b = jnp.asarray(b)
     x = jnp.zeros_like(b)
     it = 0
@@ -176,9 +195,9 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
             return x, it, False
         beta_prev = beta
         stalled_in = False
-        V = jnp.zeros((m + 1, b.shape[0]), b.dtype)
-        Z = jnp.zeros((m, b.shape[0]), b.dtype)
-        V = _fg_row(V, r / beta, jnp.int32(0))
+        V = jnp.zeros((m + 1, b.shape[0]), lp)
+        Z = jnp.zeros((m, b.shape[0]), lp)
+        V = _fg_row(V, (r / beta).astype(lp), jnp.int32(0))
         H = np.zeros((m + 1, m))
         g = np.zeros(m + 1)
         g[0] = beta
@@ -189,10 +208,10 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
         res = beta
         for k in range(m):
             kj = jnp.int32(k)
-            z = precon(_fg_read_row(V, kj))
+            z = precon(_fg_read_row(V, kj).astype(b.dtype))
             w = matvec(z)
-            Z = _fg_row(Z, z, kj)
-            V, hfull = _fg_cgs2(V, w, kj)
+            Z = _fg_row(Z, z.astype(lp), kj)
+            V, hfull = _fg_cgs2(V, w.astype(lp), kj)
             hfull_np = np.asarray(hfull)        # m+2 scalars to host
             # projections h_0..h_k, then the subdiagonal ‖w‖ (LAST entry —
             # hfull_np[k+1] is the projection onto a still-zero basis row)
@@ -241,7 +260,7 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None):
         y = np.linalg.solve(np.triu(H[:k_used, :k_used]), g[:k_used])
         ypad = np.zeros(m)
         ypad[:k_used] = y
-        x = _fg_update(x, Z, jnp.asarray(ypad, b.dtype))
+        x = _fg_update(x, Z, jnp.asarray(ypad, Z.dtype))
         if abs(g[k_used]) <= atol:
             return x, it, True
     return x, it, False
