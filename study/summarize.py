@@ -18,6 +18,8 @@ import numpy as np
 def main(d="Boussinesq_study"):
     rows = []
     for f in sorted(glob.glob(os.path.join(d, "*.npz"))):
+        if f.endswith(".ckpt.npz"):  # mid-solve checkpoint, not a result
+            continue
         name = os.path.basename(f)[:-4]
         m = re.match(r"Boussinesq(GS|NJ|JNK|PTC)_([0-9.e+~-]+)_(\d+)~(\d+)_",
                      name)
