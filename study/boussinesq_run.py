@@ -23,6 +23,9 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
                     (capability beyond the reference — SURVEY §5.4)
     -resume True    warm-start from that checkpoint if present (implies
                     checkpointing the continued run)
+    -init path.npz  warm-start from a checkpoint of a DIFFERENT physics
+                    config on the same grid (manual Ra/Re continuation;
+                    ignored when -resume finds a same-config checkpoint)
     -velo_inner 5   strengthen every coupled-preconditioner application
                     with k FDM-preconditioned GMRES steps on the true
                     shifted velocity Jacobian (flexible f32 chunks) — the
@@ -71,7 +74,7 @@ def run(log=False, save=True,
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
-        resume=False, velo_inner=0):
+        resume=False, velo_inner=0, init=None):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -126,6 +129,24 @@ def run(log=False, save=True,
                         expect_config=mda.checkpoint_config)
                     print(f"resuming from {kw['checkpoint_path']} "
                           f"(saved iters {list(it0) if it0 is not None else '?'})")
+                elif init:
+                    # warm-start from a checkpoint of a DIFFERENT physics
+                    # config (manual Ra/Re continuation: e.g. seed the
+                    # Ra=1e8 PTC run with the converged Ra=1e7 state).
+                    # Only the discretization must match — physics keys
+                    # (Re/Ra/Pr/mode) are allowed to differ by design.
+                    from sem_tpu.utils.checkpoint import load_checkpoint
+                    state0, cfg0, _ = load_checkpoint(init)
+                    grid_keys = ("P_cd", "N_ex_cd", "N_ey_cd",
+                                 "P_ns", "N_ex_ns", "N_ey_ns")
+                    mism = {k: (cfg0.get(k), kw[k]) for k in grid_keys
+                            if cfg0.get(k) != kw[k]}
+                    if mism:
+                        raise ValueError(
+                            f"-init checkpoint discretization mismatch: "
+                            f"{mism}")
+                    print(f"init from {init} "
+                          f"(Ra={cfg0.get('Ra')}, Re={cfg0.get('Re')})")
                 state = mda.solve(state0)
     finally:
         if log:
@@ -157,6 +178,7 @@ if __name__ == "__main__":
     ckpt = False
     resume = False
     velo_inner = 0
+    init = None
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -189,6 +211,8 @@ if __name__ == "__main__":
             resume = args[i + 1].lower() in ("true", "1", "yes")
         if arg == "-velo_inner":
             velo_inner = int(args[i + 1])
+        if arg == "-init":
+            init = args[i + 1]
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -197,4 +221,4 @@ if __name__ == "__main__":
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
                         P=int(P), N_e=int(Ne), backend=backend,
                         racont=racont, ckpt=ckpt, resume=resume,
-                        velo_inner=velo_inner)
+                        velo_inner=velo_inner, init=init)
