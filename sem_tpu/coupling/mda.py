@@ -42,6 +42,7 @@ mtol·√DOF with DOF = 3·N_ns + N_cd (reference :61-63).
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 import jax
@@ -324,7 +325,8 @@ class BoussinesqMDA:
                  ptc_dt0: float = 0.1, ptc_growth: float = 3.0,
                  ptc_dt_max: float = 1e12, ptc_forcing: float = 1e-2,
                  precon: str = None, checkpoint_path: str = None,
-                 checkpoint_every: int = 5, checkpoint_config: dict = None):
+                 checkpoint_every: int = 5, checkpoint_config: dict = None,
+                 time_budget_s: float = None):
         if mode not in ("GS", "NJ", "JNK", "PTC"):
             raise ValueError("Unknown method")  # parity: reference :93
         if precon is None:
@@ -377,6 +379,13 @@ class BoussinesqMDA:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every)
         self.checkpoint_config = checkpoint_config or {}
+        # optional wall-clock budget: long high-Ra marches on shared
+        # accelerators must terminate GRACEFULLY (checkpoint + raise)
+        # instead of being SIGTERM'd mid-dispatch by an external timeout —
+        # a mid-dispatch kill can wedge a remote accelerator worker pool
+        self.time_budget_s = (None if time_budget_s is None
+                              else float(time_budget_s))
+        self._t_start = None
         self.stats = MDAStats()
 
     # ------------------------- plumbing ------------------------- #
@@ -454,15 +463,34 @@ class BoussinesqMDA:
         if self.iprint:
             print(f"Boussinesq {tag}: {k}\t{norm}")
 
-    def _maybe_checkpoint(self, s: CoupledState, k: int):
+    def _maybe_checkpoint(self, s: CoupledState, k: int, force=False):
         """Persist the coupled iterate every ``checkpoint_every`` accepted
         nonlinear iterations (no-op unless ``checkpoint_path`` is set)."""
-        if self.checkpoint_path and k % self.checkpoint_every == 0:
+        if self.checkpoint_path and (force or k % self.checkpoint_every == 0):
             from sem_tpu.utils.checkpoint import save_checkpoint
             self.stats.cd_solves = self.cd_comp.iter_count_solve
             self.stats.ns_solves = self.ns_comp.iter_count_solve
             save_checkpoint(self.checkpoint_path, s,
                             self.checkpoint_config, self.stats)
+
+    def _check_budget(self, s: CoupledState, k: int, norm: float):
+        """Graceful wall-clock-budget exit: checkpoint the iterate and raise
+        BEFORE starting another nonlinear iteration.  Checked between
+        iterations only — individual dispatches are never interrupted (an
+        external SIGTERM mid-dispatch can wedge a remote accelerator)."""
+        if self.time_budget_s is None or self._t_start is None:
+            return
+        elapsed = time.monotonic() - self._t_start
+        if elapsed >= self.time_budget_s:
+            self.stats.nonlinear_iters = k
+            self._maybe_checkpoint(s, k, force=True)
+            where = (f"; state checkpointed to {self.checkpoint_path}"
+                     if self.checkpoint_path else "")
+            raise RuntimeError(
+                f"Boussinesq {self.mode}: wall-clock budget "
+                f"({self.time_budget_s:.0f} s) exhausted after {k} "
+                f"iterations at residual {norm:.3e} (target "
+                f"{self.atol_nonlin:.3e}){where}")
 
     # ------------------ on-device coupled FGMRES (JNK) ------------------ #
     def _build_jnk_cycle(self):
@@ -618,6 +646,7 @@ class BoussinesqMDA:
         zns = jnp.zeros(self.N_ns)
         s = s0.copy() if s0 is not None else CoupledState(zcd, zns, zns, zns)
         self.stats = MDAStats()
+        self._t_start = time.monotonic()
 
         warm = s0 is not None
         if self.mode == "GS":
@@ -642,6 +671,7 @@ class BoussinesqMDA:
             if norm <= self.atol_nonlin:
                 return s
             self._maybe_checkpoint(s, k)
+            self._check_budget(s, k, norm)
         raise RuntimeError(
             f"Boussinesq GS: no convergence in {self.maxiter} iterations")
 
@@ -666,6 +696,7 @@ class BoussinesqMDA:
             if norm <= self.atol_nonlin:
                 self.stats.nonlinear_iters = k - 1
                 return s
+            self._check_budget(s, k - 1, norm)
             self._linearize(s)
             if krylov:
                 atol_k = self.atol_gmres
@@ -745,6 +776,7 @@ class BoussinesqMDA:
             if norm <= self.atol_nonlin:
                 self.stats.nonlinear_iters = k - 1
                 return s
+            self._check_budget(s, k - 1, norm)
             self._linearize(s, sigma_cd=Pe / dt, sigma_ns=Re / dt)
             atol_k = max(self.atol_gmres, self.ptc_forcing * norm)
             # bound per-step linear effort: a hard tangent system (large Δt)

@@ -23,6 +23,10 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
                     (capability beyond the reference — SURVEY §5.4)
     -resume True    warm-start from that checkpoint if present (implies
                     checkpointing the continued run)
+    -budget 9000    wall-clock budget in seconds: the MDA checkpoints and
+                    exits GRACEFULLY between nonlinear iterations instead
+                    of being SIGTERM'd mid-dispatch by an external timeout
+                    (a mid-dispatch kill can wedge a remote accelerator)
     -init path.npz  warm-start from a checkpoint of a DIFFERENT physics
                     config on the same grid (manual Ra/Re continuation;
                     ignored when -resume finds a same-config checkpoint)
@@ -74,7 +78,7 @@ def run(log=False, save=True,
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
-        resume=False, velo_inner=0, init=None):
+        resume=False, velo_inner=0, init=None, budget=None):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -111,6 +115,8 @@ def run(log=False, save=True,
                       mtol_gmres=mtol_gmres, restart=restart,
                       mtol_internal=mtol_internal, forcing=forcing,
                       velo_inner=velo_inner)
+            if budget is not None:
+                kw["time_budget_s"] = float(budget)
             if ckpt or resume:
                 os.makedirs("Boussinesq_study", exist_ok=True)
                 kw["checkpoint_path"] = f"Boussinesq_study/{title}.ckpt.npz"
@@ -179,6 +185,7 @@ if __name__ == "__main__":
     resume = False
     velo_inner = 0
     init = None
+    budget = None
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -213,6 +220,8 @@ if __name__ == "__main__":
             velo_inner = int(args[i + 1])
         if arg == "-init":
             init = args[i + 1]
+        if arg == "-budget":
+            budget = float(args[i + 1])
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -221,4 +230,4 @@ if __name__ == "__main__":
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
                         P=int(P), N_e=int(Ne), backend=backend,
                         racont=racont, ckpt=ckpt, resume=resume,
-                        velo_inner=velo_inner, init=init)
+                        velo_inner=velo_inner, init=init, budget=budget)

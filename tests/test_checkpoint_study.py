@@ -101,3 +101,57 @@ def test_mid_solve_checkpointing_and_cli_resume(tmp_path):
 
     _, mda2 = _solve(s0=loaded)
     assert mda2.stats.nonlinear_iters < total_sweeps  # resumed, not redone
+
+
+def test_time_budget_checkpoints_and_raises(tmp_path):
+    """An exhausted wall-clock budget exits GRACEFULLY between nonlinear
+    iterations: the iterate is force-checkpointed (even off the
+    checkpoint_every cadence) and a RuntimeError names the budget — long
+    high-Ra marches must never be SIGTERM'd mid-dispatch by an external
+    timeout (a mid-dispatch kill can wedge a remote accelerator)."""
+    path = str(tmp_path / "budget.ckpt.npz")
+    cd, ns, mda = build_coupled(1.0, 1.0, Re=CFG["Re"], Ra=CFG["Ra"],
+                                Pr=CFG["Pr"], P_cd=3, N_ex_cd=3, N_ey_cd=3,
+                                P_ns=3, N_ex_ns=3, N_ey_ns=3,
+                                mode="GS", mtol_nonlin=1e-9, iprint=False,
+                                checkpoint_path=path, checkpoint_every=1000,
+                                time_budget_s=0.0)
+    with pytest.raises(RuntimeError, match="budget"):
+        mda.solve()
+    assert os.path.exists(path)  # forced, despite checkpoint_every=1000
+    loaded, _, iters = load_checkpoint(path)
+    assert iters[2] >= 1
+    # the checkpointed iterate resumes to convergence without the budget
+    _, mda2 = _solve(s0=loaded)
+    assert mda2.stats.nonlinear_iters >= 0
+
+
+def test_cli_budget_exit_and_cross_physics_init(tmp_path):
+    """The study CLI's -budget flag exits gracefully with a checkpoint, and
+    -init warm-starts a DIFFERENT-Ra run from it (manual Ra continuation —
+    how the Ra=1e8 march is seeded from the converged Ra=1e7 state)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    # P=3 Ne=3 at Re=Ra=1e3 needs several GS sweeps — the budget check
+    # (between sweeps) must actually be reached (tinier configs converge
+    # in ONE sweep and return before any budget test)
+    base = [sys.executable,
+            os.path.join(repo, "study", "boussinesq_run.py"),
+            "-P", "3", "-Ne", "3", "-mode", "GS", "-save", "False",
+            "-Re", "1000"]
+    out = subprocess.run(
+        base + ["-Ra", "1000", "-ckpt", "True", "-budget", "0"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=500)
+    assert out.returncode != 0                     # graceful budget raise
+    assert "budget" in out.stderr
+    ckpts = [f for f in os.listdir(tmp_path / "Boussinesq_study")
+             if f.endswith(".ckpt.npz")]
+    assert len(ckpts) == 1
+    out2 = subprocess.run(
+        base + ["-Ra", "2000",
+                "-init", os.path.join("Boussinesq_study", ckpts[0])],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=500)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "init from" in out2.stdout
