@@ -481,10 +481,30 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
                          stalled=stalled, resweeps=state[14]), hist
 
 
+@jax.jit
+def _accum(x, xin):
+    """Refinement update ``x + xin`` accumulated in the iterate dtype —
+    one program instead of an astype + add dispatch pair (every extra
+    dispatch in the refinement loop is a full accelerator round trip)."""
+    return x + xin.astype(x.dtype)
+
+
+@jax.jit
+def rowscale_prep(r, scale, dinv):
+    """Fused per-pass prep for ROW-SCALED refinement chunks: downcast,
+    scale by the stochastic row-norm inverse, and compute the chunk
+    tolerance — one dispatch instead of three (see
+    :func:`refined_gmres_host`'s ``pc_prep``)."""
+    rp = r.astype(dinv.dtype) * dinv
+    rpn = jnp.linalg.norm(rp)
+    return rp, scale * rpn, rpn
+
+
 def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                        b: jax.Array, x0: jax.Array, *,
                        atol: float, maxiter: int, max_refine: int = 12,
-                       inner_rtol: float = 1e-5, lp_dtype=jnp.float32):
+                       inner_rtol: float = 1e-5, lp_dtype=jnp.float32,
+                       pc_prep: Callable = None):
     """Host-orchestrated mixed-precision GMRES.
 
     f32 left-preconditioned inner solves inside an f64 iterative-refinement
@@ -511,6 +531,13 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
         runs per refinement pass (the f64 pass is ~2 operator applies —
         far cheaper than any same-level retry), so the effective iteration
         budget is ``min(maxiter, (max_refine+1) · chunk_bound)``
+    :param pc_prep: optional FUSED per-pass prep
+        ``pc_prep(r, scale) -> (rp, atol_lp, rpn_dev)`` replacing the
+        downcast + ``pc_lp`` + norm + tolerance sequence with ONE jitted
+        dispatch (``scale`` arrives as an lp-dtype device scalar).  Each
+        un-fused op in this loop is a full accelerator round trip —
+        measured ~95 ms/dispatch over a tunneled v5e, ~half the wall time
+        of a direct p16 coupled solve.  ``pc_lp`` may be None when given.
     :return: (x, KrylovInfo)
     """
     dtype = b.dtype
@@ -567,7 +594,6 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                 plateau = rn > atol
                 break
         prev = rn
-        rp = pc_lp(r.astype(lp_dtype))
         # learned attainable floor: once a chunk ends non-converged, its
         # final (relative) residual is the f32 floor of this preconditioned
         # system — later passes ask only for what is attainable instead of
@@ -577,9 +603,13 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
         # and this loop's per-pass reads (‖rp‖ + five KrylovInfo fields,
         # each a separate trip) measured as ~19 s of a 28.3 s direct-p16
         # solve over the tunnel — the chunk itself was 2.2 s.
-        rpn_dev = jnp.linalg.norm(rp)
-        atol_lp = (jnp.asarray(max(inner_eff, 2.0 * floor_rel), lp_dtype)
-                   * rpn_dev.astype(lp_dtype))
+        scale = jnp.asarray(max(inner_eff, 2.0 * floor_rel), lp_dtype)
+        if pc_prep is not None:
+            rp, atol_lp, rpn_dev = pc_prep(r, scale)
+        else:
+            rp = pc_lp(r.astype(lp_dtype))
+            rpn_dev = jnp.linalg.norm(rp)
+            atol_lp = scale * rpn_dev.astype(lp_dtype)
         # ONE bounded chunk per refinement pass, then always hand back to
         # the f64 refinement: a refinement pass costs ~2 operator applies
         # while a chunk costs hundreds of Krylov iterations, so retrying at
@@ -598,7 +628,7 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                               or int(info_h.iterations) == 0)
         if not bool(info_h.converged) and rpn > 0.0:
             floor_rel = max(floor_rel, float(info_h.resnorm) / rpn)
-        x = x + xin.astype(dtype)
+        x = _accum(x, xin)
         passes += 1
         if total_it >= maxiter:
             r = cres(x)

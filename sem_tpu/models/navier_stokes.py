@@ -355,6 +355,8 @@ class NavierStokesSolver:
 
         # linearization state (u, v of the last _calc_jacobians; convection
         # Jacobian diagonals — reference :123-136 keeps 4 CSR matrices)
+        self._lin32_cache = None  # f32 casts of the current linearization
+        self._dinv32 = None       # cached row-norm scaling (velo_inner)
         self._u_lin = None
         self._v_lin = None
         self._jac = None  # (jxx, jxy, jyx, jyy) diagonal vectors
@@ -795,6 +797,13 @@ class NavierStokesSolver:
                                    lp)  # pc ignores the Jacobian diagonals
             return pc32(r32, sigma32)
 
+        def coupled_pcprep(r, scale32, ul32, vl32, sigma32):
+            # fused per-refinement-pass prep (downcast + pc + norm + chunk
+            # tolerance in ONE dispatch — krylov.refined_gmres_host pc_prep)
+            rp = coupled_pc32(r.astype(lp), ul32, vl32, sigma32)
+            rpn = jnp.linalg.norm(rp)
+            return rp, scale32 * rpn, rpn
+
         def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32, sigma32):
             # bounded chunk of left-preconditioned f32 GMRES (warm-started);
             # chunking keeps each device dispatch within runtime watchdogs
@@ -853,6 +862,7 @@ class NavierStokesSolver:
                                        "uzawa" else update_coupled_f64)
         self._cres_jit = jit_hoisted(coupled_resid)
         self._pc32_jit = jit_hoisted(coupled_pc32)
+        self._pcprep_jit = jit_hoisted(coupled_pcprep)
         self._gmres32_jit = jit_hoisted(coupled_gmres32)
         self._rownorm32_jit = jit_hoisted(coupled_rownorms32)
         self._pc64_fn = coupled_pc64    # traceable; vjp-able (adjoints)
@@ -895,29 +905,31 @@ class NavierStokesSolver:
         normb = float(jnp.linalg.norm(b))
         atol_eff = max(mtol * np.sqrt(3 * N), max(mtol, 50 * eps) * normb)
 
-        ul32 = self._u_lin.astype(lp)
-        vl32 = self._v_lin.astype(lp)
-        jac32 = tuple(j.astype(lp) for j in self._jac)
-        sigma32 = jnp.asarray(self._sigma, lp)
+        ul32, vl32, jac32, sigma32 = self._lin32()
 
         x0 = (jnp.concatenate([jnp.zeros(2 * N, dtype), dp0])
               if x0_full is None else place(x0_full, dtype))
         count = [0]
 
         if k_inner > 0:
-            dinv32 = 1.0 / self._rownorm32_jit(ul32, vl32, jac32,
-                                               jax.random.PRNGKey(0))
+            dinv32 = self._dinv32
+            if dinv32 is None:
+                dinv32 = 1.0 / self._rownorm32_jit(ul32, vl32, jac32,
+                                                   jax.random.PRNGKey(0))
+                self._dinv32 = dinv32
             chunkf = self._fgmres32_jits.get(k_inner)
             if chunkf is None:
                 chunkf = self._make_fgmres32(k_inner)
                 self._fgmres32_jits[k_inner] = chunkf
-            pc_lp = lambda r32: r32 * dinv32
+            from sem_tpu.krylov import rowscale_prep
+            pc_prep = lambda r, s: rowscale_prep(r, s, dinv32)
 
             def raw_chunk(rp, xin, atol_lp):
                 return chunkf(rp, xin, atol_lp, ul32, vl32, jac32, sigma32,
                               dinv32)
         else:
-            pc_lp = lambda r32: self._pc32_jit(r32, ul32, vl32, sigma32)
+            pc_prep = lambda r, s: self._pcprep_jit(r, s, ul32, vl32,
+                                                    sigma32)
 
             def raw_chunk(rp, xin, atol_lp):
                 return self._gmres32_jit(rp, xin, atol_lp, ul32, vl32,
@@ -937,7 +949,7 @@ class NavierStokesSolver:
         x, info = refined_gmres_host(
             cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
                                           self._jac),
-            pc_lp=pc_lp,
+            pc_lp=None, pc_prep=pc_prep,
             gmres_chunk=chunk,
             b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
             max_refine=self._max_refine)
@@ -968,6 +980,26 @@ class NavierStokesSolver:
         self._sigma = float(sigma)
         self._jac = self._jac_diags_jit(u, v,
                                         jnp.asarray(sigma, self._dtype))
+
+    def _lin32(self):
+        """f32 casts of the current linearization (u_lin, v_lin, jac, σ),
+        computed ONCE per linearization instead of per discipline solve —
+        each astype/asarray is a full dispatch round trip on a tunneled
+        accelerator (~6 dispatches × ~20 solves per coupled JNK run).
+        Invalidation is by object identity of the stored linearization."""
+        src = (self._u_lin, self._v_lin, self._jac, self._sigma)
+        cached = self._lin32_cache
+        if (cached is None
+                or cached[0][0] is not src[0] or cached[0][1] is not src[1]
+                or cached[0][2] is not src[2] or cached[0][3] != src[3]):
+            lp = jnp.float32
+            val = (src[0].astype(lp), src[1].astype(lp),
+                   tuple(j.astype(lp) for j in src[2]),
+                   jnp.asarray(src[3], lp))
+            self._lin32_cache = (src, val)
+            self._dinv32 = None  # row-norm scaling follows the linearization
+            cached = self._lin32_cache
+        return cached[1]
 
     def _get_dresiduals(self, du, dv, dp, dT=None):
         """Tangent residuals with the stored linearization (reference :138-160)."""

@@ -89,11 +89,19 @@ def instrument_phases(ns, cd, mda=None):
         mda._build_jnk_cycle = build_wrapped
         # host-FGMRES device helpers (module-level jits, small per call)
         import sem_tpu.coupling.mda as mdamod
-        for name in ("_fg_row", "_fg_read_row", "_fg_cgs2"):
+        for name in ("_fg_row", "_fg_read_row", "_fg_cgs2", "_fg_update"):
             if hasattr(mdamod, name) and name not in _FG_WRAPPED:
                 setattr(mdamod, name,
                         timed_fn(getattr(mdamod, name), f"mda.{name[1:]}"))
                 _FG_WRAPPED.add(name)
+    # refinement-loop module-level helpers (krylov.refined_gmres_host)
+    import sem_tpu.krylov as krymod
+    for name in ("_accum", "rowscale_prep"):
+        if hasattr(krymod, name) and name not in _FG_WRAPPED:
+            setattr(krymod, name,
+                    timed_fn(getattr(krymod, name),
+                             f"kry.{name.strip('_')}"))
+            _FG_WRAPPED.add(name)
     return phases
 
 

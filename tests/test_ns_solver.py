@@ -349,3 +349,29 @@ def test_best_effort_update_skips_f64_escalation(monkeypatch):
     assert any(k.get("velo_inner") == 5 for k in mixed_calls)
     assert f64_calls
     assert ns.f64_fallback_count == 1
+
+
+def test_ns_lin32_cache_invalidates_on_relinearization():
+    """The cached f32 casts of the linearization (``_lin32``, one dispatch
+    set per linearization instead of per discipline solve) must refresh
+    when _calc_jacobians stores new fields — a stale cache would silently
+    precondition with the PREVIOUS Newton iterate's operator."""
+    ns = NavierStokesSolver(1.0, 1.0, Re=50.0, Gr=10.0, P=3, N_ex=3, N_ey=3,
+                            u_N=1.0, mtol=1e-10, mtol_newton=1e-9, iprint=[])
+    N = ns.N
+    u1 = jnp.asarray(RNG.standard_normal(N) * 0.1)
+    ns._calc_jacobians(u1, u1)
+    ul32_a, _, jac32_a, sig_a = ns._lin32()
+    assert ns._lin32()[0] is ul32_a          # second call: cache hit
+    np.testing.assert_allclose(np.asarray(ul32_a),
+                               np.asarray(ns._u_lin).astype(np.float32))
+
+    u2 = jnp.asarray(RNG.standard_normal(N) * 0.1)
+    ns._calc_jacobians(u2, u2, sigma=3.0)    # new linearization + shift
+    ul32_b, _, jac32_b, sig_b = ns._lin32()
+    assert ul32_b is not ul32_a
+    np.testing.assert_allclose(np.asarray(ul32_b),
+                               np.asarray(ns._u_lin).astype(np.float32))
+    assert float(sig_b) == np.float32(3.0)
+    assert any(np.any(np.asarray(a) != np.asarray(b))
+               for a, b in zip(jac32_a, jac32_b))
