@@ -326,7 +326,7 @@ class BoussinesqMDA:
                  ptc_dt_max: float = 1e12, ptc_forcing: float = 1e-2,
                  precon: str = None, checkpoint_path: str = None,
                  checkpoint_every: int = 5, checkpoint_config: dict = None,
-                 time_budget_s: float = None):
+                 time_budget_s: float = None, time_deadline: float = None):
         if mode not in ("GS", "NJ", "JNK", "PTC"):
             raise ValueError("Unknown method")  # parity: reference :93
         if precon is None:
@@ -382,10 +382,18 @@ class BoussinesqMDA:
         # optional wall-clock budget: long high-Ra marches on shared
         # accelerators must terminate GRACEFULLY (checkpoint + raise)
         # instead of being SIGTERM'd mid-dispatch by an external timeout —
-        # a mid-dispatch kill can wedge a remote accelerator worker pool
+        # a mid-dispatch kill can wedge a remote accelerator worker pool.
+        # ``time_budget_s`` is per-``solve()``; ``time_deadline`` is an
+        # ABSOLUTE ``time.monotonic()`` timestamp shared across solves —
+        # continuation drivers (Ra/p ladders build a fresh MDA per level)
+        # must use the deadline form or each level restarts the budget
+        # and the cumulative wall clock blows through the external bound.
         self.time_budget_s = (None if time_budget_s is None
                               else float(time_budget_s))
+        self.time_deadline = (None if time_deadline is None
+                              else float(time_deadline))
         self._t_start = None
+        self._last_ckpt_iter = None
         self.stats = MDAStats()
 
     # ------------------------- plumbing ------------------------- #
@@ -472,24 +480,31 @@ class BoussinesqMDA:
             self.stats.ns_solves = self.ns_comp.iter_count_solve
             save_checkpoint(self.checkpoint_path, s,
                             self.checkpoint_config, self.stats)
+            self._last_ckpt_iter = k
 
     def _check_budget(self, s: CoupledState, k: int, norm: float):
         """Graceful wall-clock-budget exit: checkpoint the iterate and raise
         BEFORE starting another nonlinear iteration.  Checked between
         iterations only — individual dispatches are never interrupted (an
         external SIGTERM mid-dispatch can wedge a remote accelerator)."""
-        if self.time_budget_s is None or self._t_start is None:
+        if self.time_deadline is not None:
+            exhausted = time.monotonic() >= self.time_deadline
+        elif self.time_budget_s is not None and self._t_start is not None:
+            exhausted = (time.monotonic() - self._t_start
+                         >= self.time_budget_s)
+        else:
             return
-        elapsed = time.monotonic() - self._t_start
-        if elapsed >= self.time_budget_s:
+        if exhausted:
             self.stats.nonlinear_iters = k
-            self._maybe_checkpoint(s, k, force=True)
+            # skip the forced save if this iterate was JUST checkpointed
+            # (four full-field readbacks + a multi-MB write at p16)
+            if self._last_ckpt_iter != k:
+                self._maybe_checkpoint(s, k, force=True)
             where = (f"; state checkpointed to {self.checkpoint_path}"
                      if self.checkpoint_path else "")
             raise RuntimeError(
-                f"Boussinesq {self.mode}: wall-clock budget "
-                f"({self.time_budget_s:.0f} s) exhausted after {k} "
-                f"iterations at residual {norm:.3e} (target "
+                f"Boussinesq {self.mode}: wall-clock budget exhausted "
+                f"after {k} iterations at residual {norm:.3e} (target "
                 f"{self.atol_nonlin:.3e}){where}")
 
     # ------------------ on-device coupled FGMRES (JNK) ------------------ #
@@ -647,6 +662,7 @@ class BoussinesqMDA:
         s = s0.copy() if s0 is not None else CoupledState(zcd, zns, zns, zns)
         self.stats = MDAStats()
         self._t_start = time.monotonic()
+        self._last_ckpt_iter = None
 
         warm = s0 is not None
         if self.mode == "GS":

@@ -109,6 +109,7 @@ class ConvectionDiffusionSolver:
         self._u = None
         self._v = None
         self._lin32_cache = None  # f32/f64 casts of the current wind + σ
+        self._sigma64_cache = None
         self._jac_diag_u = None   # diag of ∂res/∂u (global diagonal)
         self._jac_diag_v = None
         self._sigma = 0.0         # pseudo-transient T-block mass shift of
@@ -244,7 +245,7 @@ class ConvectionDiffusionSolver:
         du = z if du is None else place(du, self._dtype)
         dv = z if dv is None else place(dv, self._dtype)
         return self._dres_jit(place(dT, self._dtype), self._u, self._v,
-                              jdu, jdv, du, dv, self._lin32()[3])
+                              jdu, jdv, du, dv, self._sigma64())
 
     def _get_update(self, dres, dT0=None, mtol=None, best_effort=False):
         """Solve the tangent system for dT (reference :123-156).
@@ -267,7 +268,7 @@ class ConvectionDiffusionSolver:
         else:
             out = self._update_jit(drhs, self._u, self._v, dT0,
                                    jnp.asarray(mtol_f, self._dtype),
-                                   self._lin32()[3])
+                                   self._sigma64())
             if len(out) == 3:   # 'LGMRES_iter': per-iteration residual lines
                 dT, info, hist = out
                 self._print_hist(hist, int(info.iterations))
@@ -299,6 +300,15 @@ class ConvectionDiffusionSolver:
         for j in range(n):
             print(f"ConvectionDiffusion LGMRES: {offset + j + 1}\t{h[j]}")
 
+    def _sigma64(self):
+        """Cached f64 device scalar of the current mass shift (the f64-only
+        tangent/update paths need just this — not the f32 wind casts)."""
+        cached = self._sigma64_cache
+        if cached is None or cached[0] != self._sigma:
+            cached = (self._sigma, jnp.asarray(self._sigma, self._dtype))
+            self._sigma64_cache = cached
+        return cached[1]
+
     def _lin32(self):
         """f32/f64 casts of the current wind + mass shift, computed ONCE
         per linearization instead of per solve — each astype/asarray is a
@@ -310,8 +320,7 @@ class ConvectionDiffusionSolver:
                 or cached[0][1] is not src[1] or cached[0][2] != src[2]):
             lp = jnp.float32
             val = (src[0].astype(lp), src[1].astype(lp),
-                   jnp.asarray(src[2], lp),
-                   jnp.asarray(src[2], self._dtype))
+                   jnp.asarray(src[2], lp), self._sigma64())
             self._lin32_cache = (src, val)
             cached = self._lin32_cache
         return cached[1]

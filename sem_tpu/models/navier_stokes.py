@@ -980,6 +980,9 @@ class NavierStokesSolver:
         self._sigma = float(sigma)
         self._jac = self._jac_diags_jit(u, v,
                                         jnp.asarray(sigma, self._dtype))
+        self._dinv32 = None  # row-norm scaling follows the linearization
+        #                      (reset HERE at the mutation site — readers
+        #                      must never see the previous iterate's D)
 
     def _lin32(self):
         """f32 casts of the current linearization (u_lin, v_lin, jac, σ),

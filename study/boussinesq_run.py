@@ -116,7 +116,18 @@ def run(log=False, save=True,
                       mtol_internal=mtol_internal, forcing=forcing,
                       velo_inner=velo_inner)
             if budget is not None:
-                kw["time_budget_s"] = float(budget)
+                # ABSOLUTE deadline, not a per-solve budget: continuation
+                # modes (-racont) build a fresh MDA per ladder level, and a
+                # per-solve budget would restart at every level — blowing
+                # the cumulative wall clock through the external bound the
+                # flag exists to stay under
+                import time as _time
+                kw["time_deadline"] = _time.monotonic() + float(budget)
+            if init and racont:
+                raise ValueError(
+                    "-init is not supported with -racont True (the Ra "
+                    "ladder owns its warm starts); drop -racont to seed a "
+                    "single-level run from the checkpoint")
             if ckpt or resume:
                 os.makedirs("Boussinesq_study", exist_ok=True)
                 kw["checkpoint_path"] = f"Boussinesq_study/{title}.ckpt.npz"

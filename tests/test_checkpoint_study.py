@@ -125,6 +125,18 @@ def test_time_budget_checkpoints_and_raises(tmp_path):
     _, mda2 = _solve(s0=loaded)
     assert mda2.stats.nonlinear_iters >= 0
 
+    # the ABSOLUTE-deadline form (what continuation ladders must use —
+    # each ladder level builds a fresh MDA, so a per-solve budget would
+    # restart per level) fires identically
+    import time
+    cd3, ns3, mda3 = build_coupled(1.0, 1.0, Re=CFG["Re"], Ra=CFG["Ra"],
+                                   Pr=CFG["Pr"], P_cd=3, N_ex_cd=3,
+                                   N_ey_cd=3, P_ns=3, N_ex_ns=3, N_ey_ns=3,
+                                   mode="GS", mtol_nonlin=1e-9, iprint=False,
+                                   time_deadline=time.monotonic() - 1.0)
+    with pytest.raises(RuntimeError, match="budget"):
+        mda3.solve()
+
 
 def test_cli_budget_exit_and_cross_physics_init(tmp_path):
     """The study CLI's -budget flag exits gracefully with a checkpoint, and
