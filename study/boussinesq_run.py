@@ -23,6 +23,9 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
                     (capability beyond the reference — SURVEY §5.4)
     -resume True    warm-start from that checkpoint if present (implies
                     checkpointing the continued run)
+    -ptc_dt0 0.1, -ptc_growth 3, -ptc_forcing 1e-2
+                    PTC controller overrides (initial pseudo-timestep, SER
+                    growth factor, linear forcing) for hard-regime tuning
     -budget 9000    wall-clock budget in seconds: the MDA checkpoints and
                     exits GRACEFULLY between nonlinear iterations instead
                     of being SIGTERM'd mid-dispatch by an external timeout
@@ -78,7 +81,8 @@ def run(log=False, save=True,
         mtol_nonlin=1e-10, AGi=8, AGr=0.8, AGc=0.2,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
-        resume=False, velo_inner=0, init=None, budget=None):
+        resume=False, velo_inner=0, init=None, budget=None,
+        ptc_dt0=None, ptc_growth=None, ptc_forcing=None):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -123,6 +127,10 @@ def run(log=False, save=True,
                 # flag exists to stay under
                 import time as _time
                 kw["time_deadline"] = _time.monotonic() + float(budget)
+            for kname, v in (("ptc_dt0", ptc_dt0), ("ptc_growth", ptc_growth),
+                             ("ptc_forcing", ptc_forcing)):
+                if v is not None:
+                    kw[kname] = float(v)
             if init and racont:
                 raise ValueError(
                     "-init is not supported with -racont True (the Ra "
@@ -197,6 +205,9 @@ if __name__ == "__main__":
     velo_inner = 0
     init = None
     budget = None
+    ptc_dt0 = None
+    ptc_growth = None
+    ptc_forcing = None
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -233,6 +244,12 @@ if __name__ == "__main__":
             init = args[i + 1]
         if arg == "-budget":
             budget = float(args[i + 1])
+        if arg == "-ptc_dt0":
+            ptc_dt0 = float(args[i + 1])
+        if arg == "-ptc_growth":
+            ptc_growth = float(args[i + 1])
+        if arg == "-ptc_forcing":
+            ptc_forcing = float(args[i + 1])
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -241,4 +258,6 @@ if __name__ == "__main__":
                     run(mode=mode, log=log, save=save, Re=Re, Ra=Ra,
                         P=int(P), N_e=int(Ne), backend=backend,
                         racont=racont, ckpt=ckpt, resume=resume,
-                        velo_inner=velo_inner, init=init, budget=budget)
+                        velo_inner=velo_inner, init=init, budget=budget,
+                        ptc_dt0=ptc_dt0, ptc_growth=ptc_growth,
+                        ptc_forcing=ptc_forcing)
