@@ -42,6 +42,7 @@ mtol·√DOF with DOF = 3·N_ns + N_cd (reference :61-63).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -129,7 +130,7 @@ def _fg_update(x, Z, y):
 
 
 def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
-            basis_dtype=jnp.float32):
+            basis_dtype=jnp.float32, fused=None):
     """Host-orchestrated flexible GMRES with DEVICE-resident vectors.
 
     Control flow, the small Hessenberg recurrence, and the Givens rotations
@@ -166,8 +167,31 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
     the f32 refinement floor in one solve (the implicit adjoint, tested to
     1e-6 RAW-relative on convection-dominated states) pass
     ``basis_dtype=b.dtype``.
+
+    :param fused: optional ``(start, step, precon_split)`` triple (see
+        :meth:`BoussinesqMDA._fg_fused`) replacing the per-iteration glue
+        with ONE jitted program + ONE scalar readback per iteration:
+
+        * ``start(x, b) -> (V, Z, H, cs, sn, g, *v_pieces, beta_dev)`` —
+          window residual, normalization, buffer allocation and the
+          ``g[0]=β`` seed in one dispatch; ``v_pieces`` feed the split
+          preconditioner;
+        * ``step(V, Z, H, cs, sn, g, k, *z_pieces) ->
+          (V, Z, H, cs, sn, g, *v_pieces, res_dev)`` — matvec, flexible-
+          basis write, CGS2 and the on-device Givens/Hessenberg recurrence
+          (the un-fused loop paid ~6 dispatches + an (m+2)-scalar readback
+          per iteration over the accelerator tunnel);
+        * ``precon_split(*v_pieces) -> z_pieces`` — the block
+          preconditioner on pre-split fields (its discipline solves remain
+          host-orchestrated; the pack/unpack dispatches disappear).
+
+        ``matvec``/``precon``/``basis_dtype`` are ignored when given.  The
+        rotated Hessenberg ``H`` and ``g`` live on device; the window-end
+        triangular solve reads them back once (a few hundred bytes).
     """
     lp = basis_dtype
+    if fused is not None:
+        f_start, f_step, f_precon = fused
     b = jnp.asarray(b)
     x = jnp.zeros_like(b)
     it = 0
@@ -178,8 +202,14 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
     beta_prev = None    # true residual at the previous restart
     stalled_in = False  # last window ended on the in-window plateau test
     while it < maxiter:
-        r = b - matvec(x)
-        beta = float(jnp.linalg.norm(r))
+        if fused is not None:
+            out = f_start(x, b)
+            V, Z, Hd, csd, snd, gd = out[:6]
+            vp = out[6:-1]
+            beta = float(out[-1])   # window's ONE blocking read
+        else:
+            r = b - matvec(x)
+            beta = float(jnp.linalg.norm(r))
         if not np.isfinite(beta):
             return x, it, False     # inner solve diverged/NaN — fail fast
         if beta <= atol:
@@ -196,41 +226,51 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
             return x, it, False
         beta_prev = beta
         stalled_in = False
-        V = jnp.zeros((m + 1, b.shape[0]), lp)
-        Z = jnp.zeros((m, b.shape[0]), lp)
-        V = _fg_row(V, (r / beta).astype(lp), jnp.int32(0))
-        H = np.zeros((m + 1, m))
-        g = np.zeros(m + 1)
-        g[0] = beta
-        cs = np.zeros(m)
-        sn = np.zeros(m)
+        if fused is None:
+            V = jnp.zeros((m + 1, b.shape[0]), lp)
+            Z = jnp.zeros((m, b.shape[0]), lp)
+            V = _fg_row(V, (r / beta).astype(lp), jnp.int32(0))
+            H = np.zeros((m + 1, m))
+            g = np.zeros(m + 1)
+            g[0] = beta
+            cs = np.zeros(m)
+            sn = np.zeros(m)
         resw = np.zeros(m)  # per-iteration residual estimates (plateau test)
         k_used = 0
         res = beta
         for k in range(m):
             kj = jnp.int32(k)
-            z = precon(_fg_read_row(V, kj).astype(b.dtype))
-            w = matvec(z)
-            Z = _fg_row(Z, z.astype(lp), kj)
-            V, hfull = _fg_cgs2(V, w.astype(lp), kj)
-            hfull_np = np.asarray(hfull)        # m+2 scalars to host
-            # projections h_0..h_k, then the subdiagonal ‖w‖ (LAST entry —
-            # hfull_np[k+1] is the projection onto a still-zero basis row)
-            hcol = np.concatenate([hfull_np[:k + 1], hfull_np[-1:]])
-            H[:k + 2, k] = hcol
-            for j in range(k):
-                t1 = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
-                t2 = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
-                H[j, k], H[j + 1, k] = t1, t2
-            d = np.hypot(H[k, k], H[k + 1, k])
-            cs[k], sn[k] = (H[k, k] / d, H[k + 1, k] / d) if d > 0 else (1, 0)
-            H[k, k] = d
-            H[k + 1, k] = 0.0
-            g[k + 1] = -sn[k] * g[k]
-            g[k] = cs[k] * g[k]
+            if fused is not None:
+                zs = f_precon(*vp)
+                out = f_step(V, Z, Hd, csd, snd, gd, kj, *zs)
+                V, Z, Hd, csd, snd, gd = out[:6]
+                vp = out[6:-1]
+                res = float(out[-1])    # the iteration's ONE blocking read
+            else:
+                z = precon(_fg_read_row(V, kj).astype(b.dtype))
+                w = matvec(z)
+                Z = _fg_row(Z, z.astype(lp), kj)
+                V, hfull = _fg_cgs2(V, w.astype(lp), kj)
+                hfull_np = np.asarray(hfull)        # m+2 scalars to host
+                # projections h_0..h_k, then the subdiagonal ‖w‖ (LAST
+                # entry — hfull_np[k+1] is the projection onto a still-zero
+                # basis row)
+                hcol = np.concatenate([hfull_np[:k + 1], hfull_np[-1:]])
+                H[:k + 2, k] = hcol
+                for j in range(k):
+                    t1 = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
+                    t2 = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
+                    H[j, k], H[j + 1, k] = t1, t2
+                d = np.hypot(H[k, k], H[k + 1, k])
+                cs[k], sn[k] = ((H[k, k] / d, H[k + 1, k] / d) if d > 0
+                                else (1, 0))
+                H[k, k] = d
+                H[k + 1, k] = 0.0
+                g[k + 1] = -sn[k] * g[k]
+                g[k] = cs[k] * g[k]
+                res = abs(g[k + 1])
             it += 1
             k_used = k + 1
-            res = abs(g[k + 1])
             if callback is not None:
                 callback(it, res)
             if res <= atol or it >= maxiter:
@@ -246,6 +286,10 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
         # flag it — the true-residual test above decides the stall
         if res > atol and res > 0.98 * beta:
             stalled_in = True
+        if fused is not None:
+            # the rotated H and g live on device: ONE small readback per
+            # window for the breakdown guard + triangular solve
+            H, g = jax.device_get((Hd, gd))
         # Arnoldi breakdown guard: a stagnated inner solve can return
         # (near-)dependent directions, zeroing a diagonal of the rotated H
         # (observed with a degraded low-precision inner chunk); solve only
@@ -372,6 +416,8 @@ class BoussinesqMDA:
             device_krylov = self.DOF <= 1_000_000
         self.device_krylov = bool(device_krylov)
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
+        self._fg_fused_jits = None  # fused host-FGMRES programs (lazy)
+        self._bgs_rhs_jit = None    # fused BGS buoyancy-coupling RHS (lazy)
         # mid-solve checkpointing (utils.checkpoint; SURVEY §5.4): every
         # ``checkpoint_every`` accepted nonlinear iterations/PTC steps the
         # coupled iterate is persisted — long high-Ra runs survive
@@ -445,19 +491,42 @@ class BoussinesqMDA:
         raising — a weaker preconditioner costs outer iterations, an f64
         escalation per application costs minutes at p16 (measured at
         Ra=1e7)."""
-        from sem_tpu import operators as ops
-        from sem_tpu.interp import apply_transfer
-
         rT, ru, rv, rp = self._unpack(r)
+        dT, du, dv, dp = self._block_jacobi_split(rT, ru, rv, rp, mtol=mtol,
+                                                  best_effort=best_effort)
+        return self._pack(dT, du, dv, dp)
+
+    def _block_jacobi_split(self, rT, ru, rv, rp, mtol=None,
+                            best_effort=False):
+        """:meth:`_block_jacobi` on pre-split fields (no pack/unpack
+        dispatches — the fused host-FGMRES keeps the coupled vector in
+        pieces across the preconditioner boundary)."""
         dT = self.cd_comp.solve_linear(rT, mtol=mtol,
                                        best_effort=best_effort)
         if self.precon_type == "bgs":
-            ns_s = self.ns_comp.ns
-            dT_ns = apply_transfer(self.cd_comp.cd.grid, ns_s.grid, dT)
-            rv = rv + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid, dT_ns)
+            rv = self._bgs_rhs(dT, rv)
         du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol,
                                                best_effort=best_effort)
-        return self._pack(dT, du, dv, dp)
+        return dT, du, dv, dp
+
+    def _bgs_rhs(self, dT, rv):
+        """Fused block-Gauss-Seidel coupling RHS: forward the buoyancy
+        block J_{v,T} = −(Gr/Re)·M (through the cross-mesh transfer) into
+        the NS velocity RHS — one program instead of a transfer + mass +
+        add dispatch triple."""
+        if self._bgs_rhs_jit is None:
+            from sem_tpu import operators as ops
+            from sem_tpu.interp import apply_transfer
+            from sem_tpu.utils.hoist import jit_hoisted
+            cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+
+            def f(dT_, rv_):
+                dT_ns = apply_transfer(cd_s.grid, ns_s.grid, dT_)
+                return rv_ + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid,
+                                                               dT_ns)
+
+            self._bgs_rhs_jit = jit_hoisted(f)
+        return self._bgs_rhs_jit(dT, rv)
 
     def _gs_sweep(self, s: CoupledState, mtol=None) -> CoupledState:
         """One nonlinear Gauss-Seidel sweep: CD first, then NS (the
@@ -582,6 +651,115 @@ class BoussinesqMDA:
 
         from sem_tpu.utils.hoist import jit_hoisted
         return jit_hoisted(cycle)  # constants out of the executable
+
+    def _build_fg_fused(self):
+        """Jit the fused per-iteration programs of the HOST coupled FGMRES
+        (see :func:`_fgmres` ``fused``): the coupled tangent matvec (both
+        disciplines + cross-mesh transfers), the flexible-basis write, CGS2
+        orthogonalization and the Givens/Hessenberg recurrence all run in
+        ONE program per iteration, with the linearization state passed as
+        runtime arguments (never baked — Newton/PTC relinearizations reuse
+        the same executables).  The un-fused loop paid ~12 glue dispatches
+        + an (m+2)-scalar blocking readback per coupled iteration over the
+        accelerator tunnel; this leaves the block-preconditioner solves
+        (host-orchestrated by design) + one step dispatch + one scalar
+        read."""
+        from sem_tpu.interp import apply_transfer
+        from sem_tpu.krylov import _givens_update
+        from sem_tpu.utils.hoist import jit_hoisted
+
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        Ncd, Nns = self.N_cd, self.N_ns
+        m = self.restart
+        lp = jnp.float32
+        hi = lax.Precision.HIGHEST
+        hdt = jnp.float64  # Hessenberg/Givens recurrence dtype (tiny data)
+        eps_tiny = jnp.asarray(1e-300, hdt)
+
+        def split(v):
+            return (v[:Ncd], v[Ncd:Ncd + Nns], v[Ncd + Nns:Ncd + 2 * Nns],
+                    v[Ncd + 2 * Nns:])
+
+        def mv(zT, zu, zv, zp, cd_u, cd_v, cd_jdu, cd_jdv, ns_ul, ns_vl,
+               ns_jac, cd_sigma):
+            du_cd = apply_transfer(ns_s.grid, cd_s.grid, zu)
+            dv_cd = apply_transfer(ns_s.grid, cd_s.grid, zv)
+            dT_ns = apply_transfer(cd_s.grid, ns_s.grid, zT)
+            drT = cd_s._dres_jit(zT, cd_u, cd_v, cd_jdu, cd_jdv,
+                                 du_cd, dv_cd, cd_sigma)
+            dru, drv, drp = ns_s._dres_jit(zu, zv, zp, dT_ns,
+                                           ns_ul, ns_vl, ns_jac)
+            return jnp.concatenate([drT, dru, drv, drp])
+
+        def start(x, b, *lin):
+            r = b - mv(*split(x), *lin)
+            beta = jnp.linalg.norm(r)
+            # the preconditioner sees the lp-ROUNDED basis row (exactly what
+            # the un-fused loop's read_row + astype produced)
+            v0 = jnp.where(beta > 0.0,
+                           r / jnp.maximum(beta, 1e-300), 0.0).astype(lp)
+            V = jnp.zeros((m + 1, b.shape[0]), lp).at[0].set(v0)
+            Z = jnp.zeros((m, b.shape[0]), lp)
+            H = jnp.zeros((m + 1, m), hdt)
+            cs = jnp.ones(m, hdt)   # identity slots (krylov._givens_update)
+            sn = jnp.zeros(m, hdt)
+            g = jnp.zeros(m + 1, hdt).at[0].set(beta.astype(hdt))
+            return (V, Z, H, cs, sn, g) + split(v0.astype(b.dtype)) + (beta,)
+
+        def step(V, Z, H, cs, sn, g, k, zT, zu, zv, zp, *lin):
+            w = mv(zT, zu, zv, zp, *lin)
+            z = jnp.concatenate([zT, zu, zv, zp])
+            Z = lax.dynamic_update_slice(Z, z.astype(lp)[None, :],
+                                         (k, jnp.int32(0)))
+            # CGS2 against the padded basis (rows above k are zero — they
+            # contribute nothing; same algebra as _fg_cgs2)
+            wl = w.astype(lp)
+            h1 = jnp.matmul(V, wl, precision=hi)
+            wl = wl - jnp.matmul(V.T, h1, precision=hi)
+            h2 = jnp.matmul(V, wl, precision=hi)
+            wl = wl - jnp.matmul(V.T, h2, precision=hi)
+            nw = jnp.linalg.norm(wl)
+            vk1 = jnp.where(nw > 1e-30, wl / jnp.maximum(nw, 1e-30), 0.0)
+            V = lax.dynamic_update_slice(V, vk1[None, :],
+                                         (k + 1, jnp.int32(0)))
+            # Hessenberg column: projections 0..k (entries past k are
+            # exactly zero — projections onto still-zero rows), subdiagonal
+            # ‖w‖ at k+1; rotations in f64 on device
+            hcol = (h1 + h2).astype(hdt).at[k + 1].set(nw.astype(hdt))
+            hrot, cs, sn, g, res = _givens_update(hcol, cs, sn, g, k, m,
+                                                  eps_tiny)
+            H = lax.dynamic_update_slice(H, hrot[:, None],
+                                         (jnp.int32(0), k))
+            vnext = vk1.astype(zT.dtype)
+            return (V, Z, H, cs, sn, g) + split(vnext) + (res,)
+
+        return jit_hoisted(start), jit_hoisted(step)
+
+    def _fg_fused(self, mtol=None, best_effort=True):
+        """Bind the fused host-FGMRES programs to the CURRENT linearization
+        and return the ``(start, step, precon_split)`` triple for
+        :func:`_fgmres` — or None when disabled (``SEM_TPU_FG_FUSED=0``,
+        the escape hatch back to the un-fused reference loop)."""
+        if os.environ.get("SEM_TPU_FG_FUSED", "1") == "0":
+            return None
+        if self._fg_fused_jits is None:
+            self._fg_fused_jits = self._build_fg_fused()
+        startj, stepj = self._fg_fused_jits
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        lin = (cd_s._u, cd_s._v, cd_s._jac_diag_u, cd_s._jac_diag_v,
+               ns_s._u_lin, ns_s._v_lin, ns_s._jac, cd_s._sigma64())
+
+        def start(x, b):
+            return startj(x, b, *lin)
+
+        def step(*a):
+            return stepj(*a, *lin)
+
+        def precon_split(rT, ru, rv, rp):
+            return self._block_jacobi_split(rT, ru, rv, rp, mtol=mtol,
+                                            best_effort=best_effort)
+
+        return start, step, precon_split
 
     def _fgmres_device(self, b, atol=None, maxiter=None):
         """Drive on-device FGMRES windows until converged (warm-started).
@@ -729,7 +907,8 @@ class BoussinesqMDA:
                         maxiter=self.gmres_maxiter,
                         callback=(lambda it, res: print(
                             f"   JNK GMRES: {it}\t{res}")
-                            if self.iprint else None))
+                            if self.iprint else None),
+                        fused=self._fg_fused(mtol=self.mtol_precon))
                 self.stats.gmres_iters += iters
                 if not ok:
                     raise RuntimeError(
@@ -821,7 +1000,8 @@ class BoussinesqMDA:
                     maxiter=step_maxiter,
                     callback=(lambda it, res: print(
                         f"   PTC GMRES: {it}\t{res}")
-                        if self.iprint else None))
+                        if self.iprint else None),
+                    fused=self._fg_fused(mtol=self.mtol_precon))
                 lin_res = float(jnp.linalg.norm(-F - self._apply_linear(dx)))
             self.stats.gmres_iters += iters
             lin_failed = lin_res > 10 * atol_k

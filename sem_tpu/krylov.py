@@ -67,6 +67,11 @@ class KrylovInfo(NamedTuple):
     #                        second orthogonalization sweep (each one doubles
     #                        that iteration's basis HBM traffic — the
     #                        dominant per-iteration cost at SEM sizes)
+    bnorm: jax.Array = 0.0  # ‖b‖ of the solve (host float; set by
+    #                        refined_gmres_host when its fused pass computes
+    #                        it on device — callers needing ‖b‖ for
+    #                        escalation thresholds read it here instead of
+    #                        paying extra blocking readbacks)
 
 
 def _identity(x):
@@ -502,9 +507,10 @@ def rowscale_prep(r, scale, dinv):
 
 def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                        b: jax.Array, x0: jax.Array, *,
-                       atol: float, maxiter: int, max_refine: int = 12,
+                       atol: float = None, maxiter: int, max_refine: int = 12,
                        inner_rtol: float = 1e-5, lp_dtype=jnp.float32,
-                       pc_prep: Callable = None):
+                       pc_prep: Callable = None, pass_fused: Callable = None,
+                       atol_fn: Callable = None):
     """Host-orchestrated mixed-precision GMRES.
 
     f32 left-preconditioned inner solves inside an f64 iterative-refinement
@@ -534,13 +540,49 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
     :param pc_prep: optional FUSED per-pass prep
         ``pc_prep(r, scale) -> (rp, atol_lp, rpn_dev)`` replacing the
         downcast + ``pc_lp`` + norm + tolerance sequence with ONE jitted
-        dispatch (``scale`` arrives as an lp-dtype device scalar).  Each
-        un-fused op in this loop is a full accelerator round trip —
-        measured ~95 ms/dispatch over a tunneled v5e, ~half the wall time
-        of a direct p16 coupled solve.  ``pc_lp`` may be None when given.
+        dispatch.  Each un-fused op in this loop is a full accelerator
+        round trip — measured ~95 ms/dispatch over a tunneled v5e, ~half
+        the wall time of a direct p16 coupled solve.  ``pc_lp`` may be
+        None when given.
+    :param pass_fused: optional FULLY-FUSED refinement pass
+        ``pass_fused(x, xin) -> (x_new, rn_dev, rp, rpn_dev)`` — one jitted
+        program for accumulate + true residual + norm + low-precision prep
+        (``x_new = x + xin``, ``r = b - A x_new``, ``rn = ‖r‖``,
+        ``rp``/``rpn`` as in ``pc_prep``).  With it the loop costs ONE
+        dispatch + ONE chunk + ONE combined blocking read per pass (the
+        chunk tolerance is computed on host from the read-back ``rpn``);
+        without it an equivalent shim is built from
+        ``cres``+``pc_prep``/``pc_lp`` (more dispatches, same combined
+        read).  The chunk's ``atol_lp`` argument then arrives as a host
+        scalar instead of a device one.
+    :param atol_fn: optional ``atol_fn(normb) -> atol`` evaluated from the
+        device-computed ``‖b‖`` that rides the FIRST combined read —
+        callers then skip their own blocking ``‖b‖`` readback; ``atol``
+        may be None when given.  The resulting ``‖b‖`` is reported in
+        ``KrylovInfo.bnorm``.
     :return: (x, KrylovInfo)
     """
     dtype = b.dtype
+    if pass_fused is None:
+        # shim: same per-pass algebra from the separately-jitted pieces
+        # (legacy callers); scale=1 — the chunk tolerance is host-side now
+        if pc_prep is not None:
+            one = jnp.asarray(1.0, lp_dtype)
+
+            def pass_fused(x_, xin_):
+                x_ = _accum(x_, xin_)
+                r = cres(x_)
+                rp, _, rpn = pc_prep(r, one)
+                return x_, jnp.linalg.norm(r), rp, rpn
+        else:
+            def pass_fused(x_, xin_):
+                x_ = _accum(x_, xin_)
+                r = cres(x_)
+                rp = pc_lp(r.astype(lp_dtype))
+                return x_, jnp.linalg.norm(r), rp, jnp.linalg.norm(rp)
+
+    bn_dev = jnp.linalg.norm(b) if atol_fn is not None else None
+    normb = 0.0
     x, x_best = x0, x0
     rn_best = float("inf")
     rn0 = None
@@ -569,15 +611,60 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
     passes_cap = max_refine + 1
     chunk_iters_max = 0
     total_resweeps = 0
-    while passes < passes_cap:
-        r = cres(x)
-        rn = float(jnp.linalg.norm(r))
+    # Pipelined accounting: chunk k's KrylovInfo is read back together with
+    # pass k+1's residual norms in ONE blocking transfer (``pending``) —
+    # each host read of a device scalar is a full accelerator round trip
+    # (~95 ms over the tunnel), and the un-batched loop paid 2-3 per pass.
+    pending = None
+    rpn_prev = None
+    zlp = jnp.zeros(b.shape, lp_dtype)  # chunk warm start (reused buffer)
+    xin = zlp
+    while True:
+        x_new, rn_dev, rp, rpn_dev = pass_fused(x, xin)
+        reads = [rn_dev, rpn_dev]
+        if pending is not None:
+            reads.append(pending)
+        if bn_dev is not None:
+            reads.append(bn_dev)
+        got = jax.device_get(tuple(reads))
+        rn, rpn = float(got[0]), float(got[1])
+        idx = 2
+        if pending is not None:
+            info_h = got[idx]
+            idx += 1
+            total_it += int(info_h.iterations)
+            total_resweeps += int(info_h.resweeps)
+            chunk_iters_max = max(chunk_iters_max, int(info_h.iterations), 1)
+            passes_cap = max(max_refine + 1, -(-maxiter // chunk_iters_max))
+            last_inner_floored = (bool(info_h.stalled)
+                                  or int(info_h.iterations) == 0)
+            # learned attainable floor: once a chunk ends non-converged, its
+            # final residual relative to ITS input ``rpn`` is the f32 floor
+            # of this preconditioned system — later passes ask only for what
+            # is attainable instead of grinding toward an unreachable fixed
+            # inner_rtol
+            if (not bool(info_h.converged) and rpn_prev is not None
+                    and rpn_prev > 0.0):
+                floor_rel = max(floor_rel,
+                                float(info_h.resnorm) / rpn_prev)
+            pending = None
+        if bn_dev is not None:
+            normb = float(got[idx])
+            atol = atol_fn(normb)
+            bn_dev = None
+        x = x_new
         if rn0 is None:
             rn0 = rn
         if rn < rn_best:
             x_best, rn_best = x, rn
         if rn <= atol or not np.isfinite(rn):
             plateau = False
+            break
+        if total_it >= maxiter:
+            plateau = False  # iteration budget exhausted, not a plateau
+            break
+        if passes >= passes_cap:
+            plateau = False  # pass budget exhausted
             break
         if rn > 0.9 * prev:
             # the last pass barely moved the TRUE residual.  If its chunk
@@ -594,49 +681,20 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                 plateau = rn > atol
                 break
         prev = rn
-        # learned attainable floor: once a chunk ends non-converged, its
-        # final (relative) residual is the f32 floor of this preconditioned
-        # system — later passes ask only for what is attainable instead of
-        # grinding toward an unreachable fixed inner_rtol.  ``atol_lp`` is
-        # computed ON DEVICE (‖rp‖ is not read back before the chunk): every
-        # host read of a device scalar is a blocking accelerator round trip,
-        # and this loop's per-pass reads (‖rp‖ + five KrylovInfo fields,
-        # each a separate trip) measured as ~19 s of a 28.3 s direct-p16
-        # solve over the tunnel — the chunk itself was 2.2 s.
-        scale = jnp.asarray(max(inner_eff, 2.0 * floor_rel), lp_dtype)
-        if pc_prep is not None:
-            rp, atol_lp, rpn_dev = pc_prep(r, scale)
-        else:
-            rp = pc_lp(r.astype(lp_dtype))
-            rpn_dev = jnp.linalg.norm(rp)
-            atol_lp = scale * rpn_dev.astype(lp_dtype)
         # ONE bounded chunk per refinement pass, then always hand back to
         # the f64 refinement: a refinement pass costs ~2 operator applies
         # while a chunk costs hundreds of Krylov iterations, so retrying at
         # the f32 level when a chunk ends at its attainable floor (observed:
         # a chunk reaching 1.7× above atol_lp, then a full second chunk
         # gaining 3%) can never pay off — the f64 pass re-poses the system
-        # about the new iterate and the next chunk starts fresh
-        xin, info = gmres_chunk(rp, jnp.zeros_like(rp), atol_lp)
-        # ONE blocking transfer for all post-chunk scalars
-        info_h, rpn = jax.device_get((info, rpn_dev))
-        total_it += int(info_h.iterations)
-        total_resweeps += int(info_h.resweeps)
-        chunk_iters_max = max(chunk_iters_max, int(info_h.iterations), 1)
-        passes_cap = max(max_refine + 1, -(-maxiter // chunk_iters_max))
-        last_inner_floored = (bool(info_h.stalled)
-                              or int(info_h.iterations) == 0)
-        if not bool(info_h.converged) and rpn > 0.0:
-            floor_rel = max(floor_rel, float(info_h.resnorm) / rpn)
-        x = _accum(x, xin)
+        # about the new iterate and the next chunk starts fresh.  Its
+        # tolerance is a HOST scalar (rpn arrived with this pass's combined
+        # read — no extra round trip).
+        atol_lp = np.asarray(max(inner_eff, 2.0 * floor_rel) * rpn,
+                             np.dtype(lp_dtype))
+        xin, pending = gmres_chunk(rp, zlp, atol_lp)
+        rpn_prev = rpn
         passes += 1
-        if total_it >= maxiter:
-            r = cres(x)
-            rn = float(jnp.linalg.norm(r))
-            if rn < rn_best:
-                x_best, rn_best = x, rn
-            plateau = False  # iteration budget exhausted, not a plateau
-            break
 
     # Exit-reason discrimination (three outcomes, so callers can keep the
     # reference's fail-fast semantics, reference
@@ -660,7 +718,8 @@ def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,
                       resnorm=jnp.asarray(rn_best, dtype),
                       stalled=jnp.asarray(bool(not converged
                                                and genuine_plateau)),
-                      resweeps=jnp.int32(total_resweeps))
+                      resweeps=jnp.int32(total_resweeps),
+                      bnorm=normb)
     return x_best, info
 
 

@@ -215,7 +215,18 @@ class ConvectionDiffusionSolver:
             rpn = jnp.linalg.norm(rp)
             return rp, scale32 * rpn, rpn
 
+        def cd_pass(x, xin, b, u, v, sigma64, sigma32):
+            # FULLY-FUSED refinement pass: accumulate + f64 true residual +
+            # norm + downcast + FDM pc + norm in ONE program (see
+            # krylov.refined_gmres_host pass_fused — each un-fused op in
+            # that loop is a blocking accelerator round trip)
+            x = x + xin.astype(x.dtype)
+            r = cd_resid(x, b, u, v, sigma64)
+            rp = fdm(r.astype(lp), sigma=sigma32)
+            return x, jnp.linalg.norm(r), rp, jnp.linalg.norm(rp)
+
         self._pcprep_jit = jit_hoisted(cd_pcprep)
+        self._pass_jit = jit_hoisted(cd_pass)
         self._gmres32_jit = jit_hoisted(cd_gmres32)
 
     # ---------------- seven-method discipline protocol ---------------- #
@@ -329,8 +340,10 @@ class ConvectionDiffusionSolver:
         """Host-level f64 refinement around chunked f32 GMRES (bounded device
         dispatches — see :func:`sem_tpu.krylov.refined_gmres_host`)."""
         eps = float(np.finfo(np.dtype(self._dtype)).eps)
-        normb = float(jnp.linalg.norm(drhs))
-        atol_eff = max(mtol * np.sqrt(self.N), max(mtol, 50 * eps) * normb)
+        # ‖b‖ rides the refinement loop's first combined read (atol_fn) —
+        # no up-front blocking readback
+        atol_fn = (lambda bn: max(mtol * np.sqrt(self.N),
+                                  max(mtol, 50 * eps) * bn))
         ul32, vl32, sigma32, sigma64 = self._lin32()
         count = [0]
 
@@ -344,12 +357,11 @@ class ConvectionDiffusionSolver:
             return out
 
         return refined_gmres_host(
-            cres=lambda x: self._cres_jit(x, drhs, self._u, self._v,
-                                          sigma64),
-            pc_lp=None,
-            pc_prep=lambda r, s: self._pcprep_jit(r, s, sigma32),
+            cres=None, pc_lp=None,
+            pass_fused=lambda x, xin: self._pass_jit(
+                x, xin, drhs, self._u, self._v, sigma64, sigma32),
             gmres_chunk=chunk,
-            b=drhs, x0=dT0, atol=atol_eff, maxiter=self._maxiter)
+            b=drhs, x0=dT0, atol_fn=atol_fn, maxiter=self._maxiter)
 
     def _get_solution(self, u, v, T0=None, mtol=None):
         """Single Newton step — the problem is linear in T (reference :158-170).

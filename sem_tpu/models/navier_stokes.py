@@ -804,6 +804,25 @@ class NavierStokesSolver:
             rpn = jnp.linalg.norm(rp)
             return rp, scale32 * rpn, rpn
 
+        def coupled_pass_pc(x, xin, b, u_lin, v_lin, jac, ul32, vl32,
+                            sigma32):
+            # FULLY-FUSED refinement pass for the plain (left-pc) f32 chunks:
+            # accumulate + f64 true residual + norm + downcast + pc + norm
+            # in ONE program — the un-fused sequence cost ~5 dispatches and
+            # 2-3 blocking readbacks per pass over the accelerator tunnel
+            # (krylov.refined_gmres_host pass_fused)
+            x = x + xin.astype(x.dtype)
+            r = coupled_resid(x, b, u_lin, v_lin, jac)
+            rp = coupled_pc32(r.astype(lp), ul32, vl32, sigma32)
+            return x, jnp.linalg.norm(r), rp, jnp.linalg.norm(rp)
+
+        def coupled_pass_rs(x, xin, b, u_lin, v_lin, jac, dinv32):
+            # FULLY-FUSED refinement pass for the ROW-SCALED flexible chunks
+            x = x + xin.astype(x.dtype)
+            r = coupled_resid(x, b, u_lin, v_lin, jac)
+            rp = r.astype(lp) * dinv32
+            return x, jnp.linalg.norm(r), rp, jnp.linalg.norm(rp)
+
         def coupled_gmres32(rp32, x032, atol32, ul32, vl32, jac32, sigma32):
             # bounded chunk of left-preconditioned f32 GMRES (warm-started);
             # chunking keeps each device dispatch within runtime watchdogs
@@ -863,6 +882,8 @@ class NavierStokesSolver:
         self._cres_jit = jit_hoisted(coupled_resid)
         self._pc32_jit = jit_hoisted(coupled_pc32)
         self._pcprep_jit = jit_hoisted(coupled_pcprep)
+        self._pass_pc_jit = jit_hoisted(coupled_pass_pc)
+        self._pass_rs_jit = jit_hoisted(coupled_pass_rs)
         self._gmres32_jit = jit_hoisted(coupled_gmres32)
         self._rownorm32_jit = jit_hoisted(coupled_rownorms32)
         self._pc64_fn = coupled_pc64    # traceable; vjp-able (adjoints)
@@ -902,8 +923,10 @@ class NavierStokesSolver:
         k_inner = self._velo_inner if velo_inner is None else int(velo_inner)
         b = place(jnp.concatenate([place(res_u, dtype), place(res_v, dtype),
                                    place(res_cont, dtype)]), dtype)
-        normb = float(jnp.linalg.norm(b))
-        atol_eff = max(mtol * np.sqrt(3 * N), max(mtol, 50 * eps) * normb)
+        # ‖b‖ is computed on device and rides the refinement loop's first
+        # combined read (atol_fn) — no up-front blocking readback here
+        atol_fn = (lambda bn: max(mtol * np.sqrt(3 * N),
+                                  max(mtol, 50 * eps) * bn))
 
         ul32, vl32, jac32, sigma32 = self._lin32()
 
@@ -921,15 +944,16 @@ class NavierStokesSolver:
             if chunkf is None:
                 chunkf = self._make_fgmres32(k_inner)
                 self._fgmres32_jits[k_inner] = chunkf
-            from sem_tpu.krylov import rowscale_prep
-            pc_prep = lambda r, s: rowscale_prep(r, s, dinv32)
+            pass_fused = lambda x, xin: self._pass_rs_jit(
+                x, xin, b, self._u_lin, self._v_lin, self._jac, dinv32)
 
             def raw_chunk(rp, xin, atol_lp):
                 return chunkf(rp, xin, atol_lp, ul32, vl32, jac32, sigma32,
                               dinv32)
         else:
-            pc_prep = lambda r, s: self._pcprep_jit(r, s, ul32, vl32,
-                                                    sigma32)
+            pass_fused = lambda x, xin: self._pass_pc_jit(
+                x, xin, b, self._u_lin, self._v_lin, self._jac, ul32, vl32,
+                sigma32)
 
             def raw_chunk(rp, xin, atol_lp):
                 return self._gmres32_jit(rp, xin, atol_lp, ul32, vl32,
@@ -947,11 +971,9 @@ class NavierStokesSolver:
             return out
 
         x, info = refined_gmres_host(
-            cres=lambda x: self._cres_jit(x, b, self._u_lin, self._v_lin,
-                                          self._jac),
-            pc_lp=None, pc_prep=pc_prep,
+            cres=None, pc_lp=None, pass_fused=pass_fused,
             gmres_chunk=chunk,
-            b=b, x0=x0, atol=atol_eff, maxiter=self._maxiter,
+            b=b, x0=x0, atol_fn=atol_fn, maxiter=self._maxiter,
             max_refine=self._max_refine)
         return x[:N], x[N:2 * N], x[2 * N:], info, info
 
@@ -1047,9 +1069,16 @@ class NavierStokesSolver:
                 # Re=400 P=8 lid-cavity tangent systems converge in ~190
                 # f64 iterations while every f32 chunk stalls).
                 eps = float(np.finfo(np.dtype(self._dtype)).eps)
-                nb = float(np.sqrt(float(jnp.vdot(dres_u, dres_u))
-                                   + float(jnp.vdot(dres_v, dres_v))
-                                   + float(jnp.vdot(dres_cont, dres_cont))))
+                # ‖b‖ was computed on device inside the refinement loop and
+                # rode its first combined readback — three extra blocking
+                # vdot readbacks per rescue check cost ~0.3 s each on the
+                # tunneled v5e
+                nb = float(schur_info.bnorm)
+                if nb == 0.0:
+                    nb = float(np.sqrt(
+                        float(jnp.vdot(dres_u, dres_u))
+                        + float(jnp.vdot(dres_v, dres_v))
+                        + float(jnp.vdot(dres_cont, dres_cont))))
                 atol_eff = max(mtol_f * np.sqrt(3 * self.N),
                                max(mtol_f, 50 * eps) * nb)
 

@@ -41,6 +41,17 @@ def jit_hoisted(fun):
     cache = {}
 
     def wrapper(*args):
+        # Under an ACTIVE trace (this hoisted function called inside another
+        # traced one), inline: the enclosing trace captures our constants
+        # and the OUTERMOST hoisted wrapper lifts them once.  Running the
+        # make_jaxpr + device_put machinery here instead would CACHE
+        # tracer-valued "constants" (device_put is a traced op in that
+        # context), poisoning every later concrete call with stale tracers
+        # (measured: the fused host-FGMRES step tracing _dres_jit with a
+        # fresh argument signature).
+        from jax._src import core as _core
+        if not _core.trace_state_clean():
+            return fun(*args)
         flat, in_tree = tree_util.tree_flatten(args)
         key = (in_tree, tuple((getattr(a, "shape", ()),
                                str(getattr(a, "dtype", type(a))))

@@ -85,6 +85,42 @@ def test_jnk_device_matches_host_krylov(gs_reference):
         np.testing.assert_allclose(v, v0, atol=1e-8)
 
 
+def test_host_fgmres_fused_matches_unfused():
+    """The fused host-FGMRES path (one program + one scalar readback per
+    coupled iteration: matvec + CGS2 + on-device Givens) reproduces the
+    un-fused reference loop on the SAME coupled tangent system — same
+    solution to roundoff and the same iteration count."""
+    from sem_tpu.coupling.mda import _fgmres, CoupledState
+
+    cd, ns, mda = build_coupled(1.0, 1.0, mode="JNK", **QUICK)
+    z = jnp.zeros(mda.N_cd)
+    zn = jnp.zeros(mda.N_ns)
+    s = mda._gs_sweep(CoupledState(z, zn, zn, zn), mtol=1e-4)
+    mda._linearize(s)
+    F = mda._residuals(s)
+    atol = 1e-9 * float(np.sqrt(mda.DOF))
+
+    precon = lambda r: mda._block_jacobi(r, mtol=1e-4, best_effort=True)
+    x_ref, it_ref, ok_ref = _fgmres(
+        mda._apply_linear, precon, -F, atol=atol,
+        restart=mda.restart, maxiter=200)
+    fused = mda._fg_fused(mtol=1e-4)
+    assert fused is not None
+    x_f, it_f, ok_f = _fgmres(
+        None, None, -F, atol=atol,
+        restart=mda.restart, maxiter=200, fused=fused)
+
+    assert ok_ref and ok_f
+    assert it_f == it_ref
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               rtol=1e-10, atol=1e-12 * atol)
+    # TRUE residuals agree (the recurrence's f32-basis floor sits above
+    # atol here — identical in both paths, so compare, don't bound)
+    rn_f = float(jnp.linalg.norm(-F - mda._apply_linear(x_f)))
+    rn_ref = float(jnp.linalg.norm(-F - mda._apply_linear(x_ref)))
+    assert rn_f <= 1.01 * rn_ref + 1e-13
+
+
 def test_mda_different_disciplinary_resolutions():
     """CD and NS run at different (P, N_e) like the study harness
     (reference study/Boussinesq_run.py:50-51: CD at N_e/2)."""

@@ -150,6 +150,47 @@ def test_ptc_matches_jnk_at_moderate_ra():
                                atol=1e-4)
 
 
+def test_ptc_fused_host_fgmres_matches_unfused_under_shift():
+    """The fused host-FGMRES step (one program per coupled iteration) is
+    exactly equivalent to the un-fused loop on a PTC-SHIFTED tangent
+    system (σ > 0 — covers the mass-shift plumbing through the fused
+    matvec, which the steady JNK equivalence test cannot).
+
+    March-level host-vs-device equality is deliberately NOT asserted:
+    inexact-Newton directions differ between the two preconditioner
+    stacks, and on this coarse grid the pseudo-trajectories can select
+    different discrete roots (measured: at Ra=1e3, Δt₀=1 the host march
+    converges to rms 8e-9 on a state with u ~40× the physical anchor —
+    fused and un-fused bit-identically)."""
+    from sem_tpu.coupling.boussinesq import build_coupled
+    from sem_tpu.coupling.mda import _fgmres, CoupledState
+
+    kw = dict(Re=1e3, Ra=1e4, Pr=0.71, P_cd=3, N_ex_cd=4, N_ey_cd=4,
+              P_ns=3, N_ex_ns=8, N_ey_ns=8, mtol_nonlin=1e-8, iprint=False)
+    cd, ns, mda = build_coupled(1.0, 1.0, mode="PTC",
+                                device_krylov=False, **kw)
+    z = jnp.zeros(mda.N_cd)
+    zn = jnp.zeros(mda.N_ns)
+    s = mda._gs_sweep(CoupledState(z, zn, zn, zn), mtol=1e-4)
+    dt = 0.25
+    mda._linearize(s, sigma_cd=mda.cd_comp.cd._Pe / dt,
+                   sigma_ns=mda.ns_comp.ns._Re / dt)
+    F = mda._residuals(s)
+    atol = 1e-2 * float(jnp.linalg.norm(F))
+
+    precon = lambda r: mda._block_jacobi(r, mtol=1e-4, best_effort=True)
+    x_ref, it_ref, ok_ref = _fgmres(mda._apply_linear, precon, -F,
+                                    atol=atol, restart=mda.restart,
+                                    maxiter=100)
+    fused = mda._fg_fused(mtol=1e-4)
+    x_f, it_f, ok_f = _fgmres(None, None, -F, atol=atol,
+                              restart=mda.restart, maxiter=100, fused=fused)
+    assert ok_ref and ok_f
+    assert it_f == it_ref
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               rtol=1e-10, atol=1e-14)
+
+
 @pytest.mark.slow
 def test_ptc_reaches_ra_1e5_from_zero():
     """The round-3 headline: steady Ra=1e5 from zero via PTC — beyond both
