@@ -994,6 +994,7 @@ class BoussinesqMDA:
             else:
                 precon = lambda r: self._block_jacobi(
                     r, mtol=self.mtol_precon, best_effort=True)
+                fused = self._fg_fused(mtol=self.mtol_precon)
                 dx, iters, _ = _fgmres(
                     self._apply_linear, precon, -F,
                     atol=atol_k, restart=self.restart,
@@ -1001,8 +1002,15 @@ class BoussinesqMDA:
                     callback=(lambda it, res: print(
                         f"   PTC GMRES: {it}\t{res}")
                         if self.iprint else None),
-                    fused=self._fg_fused(mtol=self.mtol_precon))
-                lin_res = float(jnp.linalg.norm(-F - self._apply_linear(dx)))
+                    fused=fused)
+                if fused is not None:
+                    # the fused window-start program computes exactly
+                    # ‖b − A·x‖ — reuse it for the TRUE linear residual
+                    # instead of an ~10-dispatch _apply_linear round trip
+                    lin_res = float(fused[0](dx, -F)[-1])
+                else:
+                    lin_res = float(jnp.linalg.norm(
+                        -F - self._apply_linear(dx)))
             self.stats.gmres_iters += iters
             lin_failed = lin_res > 10 * atol_k
             s_new, F_new, norm_new = self._try_step(s, dx, 1.0)

@@ -87,6 +87,16 @@ def instrument_phases(ns, cd, mda=None):
             return timed_fn(orig_build(), "mda.jnk_cycle")
 
         mda._build_jnk_cycle = build_wrapped
+        # fused host-FGMRES programs (start / per-iteration step)
+        orig_build_fused = mda._build_fg_fused
+
+        def build_fused_wrapped():
+            startj, stepj = orig_build_fused()
+            return (timed_fn(startj, "mda.fg_start"),
+                    timed_fn(stepj, "mda.fg_step"))
+
+        mda._build_fg_fused = build_fused_wrapped
+        mda._bgs_rhs = timed_fn(mda._bgs_rhs, "mda.bgs_rhs")
         # host-FGMRES device helpers (module-level jits, small per call)
         import sem_tpu.coupling.mda as mdamod
         for name in ("_fg_row", "_fg_read_row", "_fg_cgs2", "_fg_update"):
