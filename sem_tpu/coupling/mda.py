@@ -965,6 +965,7 @@ class BoussinesqMDA:
                              dt_max=self.ptc_dt_max)
         F = self._residuals(s)
         norm = float(jnp.linalg.norm(F))
+        linfail_rejects = 0
         for k in range(1, self.maxiter + 1):
             dt = ctrl.dt
             self._print("PTC", k - 1, f"{norm}\tdt={dt:.3g}")
@@ -1022,6 +1023,22 @@ class BoussinesqMDA:
                         f"residual {norm:.3e} (target "
                         f"{self.atol_nonlin:.3e})")
                 continue
+            if lin_failed and norm_new > norm and linfail_rejects < 3:
+                # the update did not solve the implicit-Euler system AND it
+                # raised the residual: not a pseudo-time step — re-solve
+                # about the SAME state at smaller Δt instead of walking a
+                # garbage direction (bounded: after 3 consecutive
+                # rejections fall back to SER's always-accept so a genuinely
+                # rough transient cannot deadlock; see SERController
+                # .reject_linfail)
+                linfail_rejects += 1
+                if not ctrl.reject_linfail():
+                    raise RuntimeError(
+                        f"Boussinesq PTC: pseudo-time step collapsed at "
+                        f"residual {norm:.3e} (target "
+                        f"{self.atol_nonlin:.3e})")
+                continue
+            linfail_rejects = 0
             # SER + linear-failure trust region (rationale in sem_tpu.ptc)
             ctrl.accept(norm, norm_new, lin_failed)
             s, F, norm = s_new, F_new, norm_new

@@ -1275,6 +1275,7 @@ class NavierStokesSolver:
         ru, rv, rc = self._get_residuals(u, v, p, T)
         norm = float(jnp.sqrt(jnp.vdot(ru, ru) + jnp.vdot(rv, rv)
                               + jnp.vdot(rc, rc)))
+        linfail_rejects = 0
         for k in range(max_steps):
             if "NEWTON_iter" in self._iprint:
                 print(f"NavierStokes PTC: {k}\t{norm}\tdt={ctrl.dt:.3g}")
@@ -1310,6 +1311,18 @@ class NavierStokesSolver:
                         f"NavierStokes PTC: pseudo-time step collapsed at "
                         f"residual {norm:.3e}")
                 continue
+            if lin_failed and norm_new > norm and linfail_rejects < 3:
+                # a dx that failed its linear solve AND raised the residual
+                # is not a pseudo-time step: re-solve about the same state
+                # at the damped Δt (bounded; MDA PTC has identical
+                # semantics — see SERController.reject_linfail)
+                linfail_rejects += 1
+                if not ctrl.reject_linfail():
+                    raise RuntimeError(
+                        f"NavierStokes PTC: pseudo-time step collapsed at "
+                        f"residual {norm:.3e}")
+                continue
+            linfail_rejects = 0
             ctrl.accept(norm, norm_new, lin_failed)
             u, v, p = un, vn, pn
             ru, rv, rc = run_, rvn, rcn

@@ -70,6 +70,24 @@ class SERController:
         self.dt = self.dt * self.SHRINK_BLOWUP
         return self.dt >= self.dt_min
 
+    def reject_linfail(self) -> bool:
+        """Step rejected because its linear solve FAILED and the update
+        RAISED the residual: a dx that does not solve the implicit-Euler
+        system is not a pseudo-time step, so re-solving about the same
+        state at the damped Δt is strictly safer than walking it.  Damp Δt
+        4× and hold the trust-region ceiling at half the failing Δt; the
+        caller bounds consecutive rejections (a residual rise with a
+        HEALTHY linear solve is the normal oscillatory transient and must
+        still be accepted — SER's always-accept rationale; measured: the
+        coarse-grid limit cycles / spurious-root captures all had healthy
+        solves, so this rejection correctly does NOT fire there).
+
+        :return: False when Δt has collapsed below ``dt_min``.
+        """
+        self.dt_ceil = max(self.dt / 2.0, self.dt_min)
+        self.dt = self.dt * self.SHRINK_LINFAIL
+        return self.dt >= self.dt_min
+
     def accept(self, norm_old: float, norm_new: float,
                lin_failed: bool) -> None:
         """Step accepted: apply SER + the linear-failure trust region.

@@ -126,6 +126,13 @@ def test_ser_controller_semantics():
     # dt_min floors the collapse and reject_blowup reports death below it
     c2 = SERController(1e-10)
     assert not c2.reject_blowup()
+    # lin-fail rejection: damp 4x AND ceiling at half the failing dt
+    c3 = SERController(1.0, dt_max=100.0)
+    assert c3.reject_linfail()
+    assert c3.dt == pytest.approx(0.25)
+    assert c3.dt_ceil == pytest.approx(0.5)
+    c4 = SERController(1e-10)
+    assert not c4.reject_linfail()
 
 
 def test_ptc_matches_jnk_at_moderate_ra():
