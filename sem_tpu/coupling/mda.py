@@ -205,6 +205,12 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
         if fused is not None:
             out = f_start(x, b)
             V, Z, Hd, csd, snd, gd = out[:6]
+            if V.shape[0] != m + 1:
+                raise ValueError(
+                    f"fused FGMRES programs were built for restart="
+                    f"{V.shape[0] - 1}, called with restart={m} (a window "
+                    f"mismatch would silently clamp the padded-buffer "
+                    f"updates)")
             vp = out[6:-1]
             beta = float(out[-1])   # window's ONE blocking read
         else:
