@@ -192,6 +192,18 @@ def run(log=False, save=True,
     if save:
         os.makedirs("Boussinesq_study", exist_ok=True)
         np.savez("Boussinesq_study/" + title, T_e, u_e, v_e, np.array(iters))
+        # compact committed record (the ~20 MB field .npz is gitignored and
+        # does not survive workspace resets): iteration counts + raw domain
+        # anchors.  ``study/summarize.py`` refreshes this sidecar with
+        # literature-grade centerline anchors when the .npz is still around.
+        import json
+        stats = dict(mode=mode, Re=Re, Ra=Ra, Pr=Pr, P=P, Ne=N_e,
+                     iters=[int(x) for x in iters],
+                     u_anchor=round(float(np.abs(u_e).max()) * Re * Pr, 4),
+                     v_anchor=round(float(np.abs(v_e).max()) * Re * Pr, 4),
+                     anchor_kind="domain_max")
+        with open(f"Boussinesq_study/{title}.stats.json", "w") as fh:
+            json.dump(stats, fh, indent=1)
     return state, mda.stats
 
 
