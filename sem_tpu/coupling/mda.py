@@ -56,6 +56,36 @@ from sem_tpu.coupling.components import (ConvectionDiffusionComponent,
 __all__ = ["BoussinesqMDA", "MDAStats", "CoupledState"]
 
 
+def _env_int(name, default):
+    """Integer env-var override with a measured default.
+
+    Dispatch-size safety thresholds below were calibrated against THIS
+    machine's tunneled accelerator (its runtime watchdog kills long single
+    dispatches); a directly-attached TPU host can usually run far larger
+    fused windows/problems on the device path.  Documented in README
+    "Environment knobs".
+    """
+    v = os.environ.get(name, "")
+    return default if v == "" else int(float(v))
+
+
+#: largest coupled DOF for which JNK auto-selects fused on-device Krylov
+#: windows (``SEM_TPU_DEVICE_KRYLOV_MAX_DOF``); beyond it the
+#: host-orchestrated FGMRES path's individually-bounded dispatches are
+#: watchdog-safe.  Tunnel-measured default 1e6.
+DEVICE_KRYLOV_MAX_DOF = "SEM_TPU_DEVICE_KRYLOV_MAX_DOF"
+#: largest coupled DOF for which PTC keeps the device-fused window path
+#: (``SEM_TPU_PTC_DEVICE_MAX_DOF``); PTC's convection-dominated inner
+#: solves stretch a fused window far past what JNK's do, hence the lower
+#: tunnel-measured default 150k.
+PTC_DEVICE_MAX_DOF = "SEM_TPU_PTC_DEVICE_MAX_DOF"
+#: outer iterations bundled into one fused device window
+#: (``SEM_TPU_FUSED_WINDOW``, default 10): each contains a full CD + NS
+#: preconditioner solve (nested Krylov included), so the window bounds
+#: single-dispatch runtime under accelerator watchdogs.
+FUSED_WINDOW = "SEM_TPU_FUSED_WINDOW"
+
+
 @dataclasses.dataclass
 class MDAStats:
     """Iteration counters, mirroring the reference study's de-facto benchmark
@@ -419,7 +449,8 @@ class BoussinesqMDA:
             # the window was bounded to 10 outer iterations; with bounded
             # dispatches the device path is safe and much faster than the
             # host path (whose every callback crosses the tunnel)
-            device_krylov = self.DOF <= 1_000_000
+            device_krylov = self.DOF <= _env_int(DEVICE_KRYLOV_MAX_DOF,
+                                                 1_000_000)
         self.device_krylov = bool(device_krylov)
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
         self._fg_fused_jits = None  # fused host-FGMRES programs (lazy)
@@ -610,7 +641,7 @@ class BoussinesqMDA:
         # preconditioner solve (nested Krylov included), so the window is
         # kept small to bound single-dispatch runtime under accelerator
         # watchdogs; windows are warm-started so convergence is unaffected
-        window = min(self.restart, 10)
+        window = min(self.restart, _env_int(FUSED_WINDOW, 10))
 
         def unpack(z):
             return (z[:Ncd], z[Ncd:Ncd + Nns],
@@ -994,7 +1025,9 @@ class BoussinesqMDA:
             # path's dispatches are individually bounded (the NS block
             # solves run their chunked mixed-precision path), so PTC
             # prefers it beyond small sizes.
-            use_device = self.device_krylov and self.DOF <= 150_000
+            use_device = (self.device_krylov
+                          and self.DOF <= _env_int(PTC_DEVICE_MAX_DOF,
+                                                   150_000))
             if use_device:
                 dx, iters, _, lin_res = self._fgmres_device(
                     -F, atol=atol_k, maxiter=step_maxiter)

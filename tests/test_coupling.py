@@ -273,3 +273,32 @@ def test_de_vahl_davis_benchmark():
     assert abs(umax - DVD_UMAX) / DVD_UMAX < 0.01, umax
     assert abs(vmax - DVD_VMAX) / DVD_VMAX < 0.01, vmax
     assert stats.nonlinear_iters <= 6
+
+
+def test_dispatch_threshold_env_knobs(monkeypatch):
+    """The tunnel-calibrated dispatch-size thresholds are env-overridable
+    (README "Environment knobs"): device_krylov auto-selection honors
+    SEM_TPU_DEVICE_KRYLOV_MAX_DOF, and a tiny JNK solve still converges
+    with both the window size and threshold overridden."""
+    from sem_tpu.coupling import mda as mda_mod
+
+    # default auto: QUICK's DOF (~few hundred) is far below 1e6 -> device
+    cd, ns, mda = build_coupled(1.0, 1.0, mode="JNK", **QUICK)
+    assert mda.device_krylov
+    # force the auto-threshold below this problem's DOF -> host path
+    monkeypatch.setenv("SEM_TPU_DEVICE_KRYLOV_MAX_DOF", "1")
+    cd, ns, mda_host = build_coupled(1.0, 1.0, mode="JNK", **QUICK)
+    assert not mda_host.device_krylov
+    assert mda_host.DOF == mda.DOF > 1
+    # explicit request still wins over the env auto-threshold
+    cd, ns, mda_exp = build_coupled(1.0, 1.0, mode="JNK",
+                                    device_krylov=True, **QUICK)
+    assert mda_exp.device_krylov
+    # solve end-to-end with a non-default fused window: same solution as
+    # the default window (windows are warm-started -> size-independent)
+    ref = mda.solve()
+    monkeypatch.setenv("SEM_TPU_FUSED_WINDOW", "3")
+    monkeypatch.setenv("SEM_TPU_PTC_DEVICE_MAX_DOF", "0")
+    state = mda_exp.solve()
+    np.testing.assert_allclose(np.asarray(state.u), np.asarray(ref.u),
+                               atol=1e-7)
