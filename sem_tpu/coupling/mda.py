@@ -478,6 +478,39 @@ class BoussinesqMDA:
         self._t_start = None
         self._last_ckpt_iter = None
         self.stats = MDAStats()
+        self.prefetch_programs()
+
+    def prefetch_programs(self):
+        """Concurrent first-call prefetch of every program a previous
+        process recorded for this configuration (sem_tpu.utils.prefetch:
+        per-process executable loads through a tunnel-attached accelerator
+        cost ~2-24 s EACH on persistent-cache hits and parallelize across
+        threads — the dominant time-to-first-solution term).  Lazily-built
+        program sets (fused host-FGMRES, device JNK windows, flexible
+        inner chunks) are constructed eagerly here iff the manifest shows
+        they were used last time."""
+        from sem_tpu.utils import prefetch
+        if not prefetch.enabled():
+            return
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        pair = f"@{cd_s.grid.tag}|{ns_s.grid.tag}"
+        try:
+            if (self._fg_fused_jits is None
+                    and prefetch.known_labels("mda.fg_start" + pair)):
+                self._fg_fused_jits = self._build_fg_fused()
+            if (self._jnk_cycle_jit is None and self.device_krylov
+                    and prefetch.known_labels("mda.cycle" + pair)):
+                self._jnk_cycle_jit = self._build_jnk_cycle()
+            pre = "ns.fgmres32k"
+            suf = f"@{ns_s.grid.tag}/{ns_s._linear_solver}"
+            for lbl in prefetch.known_labels(pre):
+                if lbl.endswith(suf):
+                    k = int(lbl[len(pre):lbl.index("@")])
+                    if k not in ns_s._fgmres32_jits:
+                        ns_s._fgmres32_jits[k] = ns_s._make_fgmres32(k)
+        except Exception:
+            pass  # prefetch is strictly best-effort
+        prefetch.warm_async()
 
     # ------------------------- plumbing ------------------------- #
     def _pack(self, rT, ru, rv, rp):
@@ -562,7 +595,8 @@ class BoussinesqMDA:
                 return rv_ + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid,
                                                                dT_ns)
 
-            self._bgs_rhs_jit = jit_hoisted(f)
+            self._bgs_rhs_jit = jit_hoisted(
+                f, f"mda.bgs_rhs@{cd_s.grid.tag}|{ns_s.grid.tag}")
         return self._bgs_rhs_jit(dT, rv)
 
     def _gs_sweep(self, s: CoupledState, mtol=None) -> CoupledState:
@@ -687,7 +721,10 @@ class BoussinesqMDA:
                           maxiter=window, precon=pc)
 
         from sem_tpu.utils.hoist import jit_hoisted
-        return jit_hoisted(cycle)  # constants out of the executable
+        # constants out of the executable
+        return jit_hoisted(
+            cycle, f"mda.cycle@{cd_s.grid.tag}|{ns_s.grid.tag}"
+                   f"/w{window}r{self.restart}")
 
     def _build_fg_fused(self):
         """Jit the fused per-iteration programs of the HOST coupled FGMRES
@@ -770,7 +807,9 @@ class BoussinesqMDA:
             vnext = vk1.astype(zT.dtype)
             return (V, Z, H, cs, sn, g) + split(vnext) + (res,)
 
-        return jit_hoisted(start), jit_hoisted(step)
+        fgtag = f"@{cd_s.grid.tag}|{ns_s.grid.tag}/r{m}"
+        return (jit_hoisted(start, "mda.fg_start" + fgtag),
+                jit_hoisted(step, "mda.fg_step" + fgtag))
 
     def _fg_fused(self, mtol=None, best_effort=True):
         """Bind the fused host-FGMRES programs to the CURRENT linearization

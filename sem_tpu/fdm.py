@@ -142,7 +142,8 @@ class FDM2D:
         self._bmask = bm
 
         from sem_tpu.utils.hoist import jit_hoisted
-        self._solve_jit = jit_hoisted(self._solve_impl)
+        self._solve_jit = jit_hoisted(self._solve_impl,
+                                      f"fdm.solve@{grid.tag}")
 
     # ------------------------------------------------------------------ #
     def _solve_impl(self, r: jax.Array, sigma=None) -> jax.Array:

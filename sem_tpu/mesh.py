@@ -262,3 +262,8 @@ class Grid2D:
     def __repr__(self):
         return (f"Grid2D(P={self.P}, N_ex={self.N_ex}, N_ey={self.N_ey}, "
                 f"L_x={self.L_x}, L_y={self.L_y}; N={self.N})")
+
+    @property
+    def tag(self) -> str:
+        """Compact config string for program labels / cache keys."""
+        return f"P{self.P}_{self.N_ex}x{self.N_ey}"

@@ -201,12 +201,14 @@ class ConvectionDiffusionSolver:
         # large closure constants hoisted to runtime arguments (see
         # sem_tpu.utils.hoist: executable size / per-process load time)
         from sem_tpu.utils.hoist import jit_hoisted
-        self._residual_jit = jit_hoisted(residual)
-        self._dres_jit = jit_hoisted(dres)
-        self._jac_diags_jit = jit_hoisted(jac_diags)
-        self._update_jit = jit_hoisted(update_f64)
-        self._cres_jit = jit_hoisted(cd_resid)
-        self._pc32_jit = jit_hoisted(lambda r32, s32: fdm(r32, sigma=s32))
+        tag = f"@{self.grid.tag}"
+        self._residual_jit = jit_hoisted(residual, "cd.residual" + tag)
+        self._dres_jit = jit_hoisted(dres, "cd.dres" + tag)
+        self._jac_diags_jit = jit_hoisted(jac_diags, "cd.jac_diags" + tag)
+        self._update_jit = jit_hoisted(update_f64, "cd.update" + tag)
+        self._cres_jit = jit_hoisted(cd_resid, "cd.cres" + tag)
+        self._pc32_jit = jit_hoisted(lambda r32, s32: fdm(r32, sigma=s32),
+                                     "cd.pc32" + tag)
 
         def cd_pcprep(r, scale32, sigma32):
             # fused per-refinement-pass prep (downcast + pc + norm + chunk
@@ -225,9 +227,13 @@ class ConvectionDiffusionSolver:
             rp = fdm(r.astype(lp), sigma=sigma32)
             return x, jnp.linalg.norm(r), rp, jnp.linalg.norm(rp)
 
-        self._pcprep_jit = jit_hoisted(cd_pcprep)
-        self._pass_jit = jit_hoisted(cd_pass)
-        self._gmres32_jit = jit_hoisted(cd_gmres32)
+        self._pcprep_jit = jit_hoisted(cd_pcprep, "cd.pcprep" + tag)
+        self._pass_jit = jit_hoisted(cd_pass, "cd.pass" + tag)
+        self._gmres32_jit = jit_hoisted(cd_gmres32, "cd.gmres32" + tag)
+        # concurrent first-call prefetch of previously-recorded programs
+        # (time-to-first-solution; no-op without a manifest/accelerator)
+        from sem_tpu.utils import prefetch
+        prefetch.warm_async()
 
     # ---------------- seven-method discipline protocol ---------------- #
     def _get_residuals(self, T, u, v):

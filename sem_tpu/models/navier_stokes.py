@@ -865,7 +865,9 @@ class NavierStokesSolver:
                     return x, info, hist
                 return x, info
 
-            return jit_hoisted(coupled_fgmres32)
+            return jit_hoisted(
+                coupled_fgmres32,
+                f"ns.fgmres32k{k}@{self.grid.tag}/{self._linear_solver}")
 
         # jit_hoisted keeps the large solver constants (operator matrices,
         # spectral/FDM transforms, boundary-ring inverse) OUT of the
@@ -874,23 +876,30 @@ class NavierStokesSolver:
         # (per-process executable loads through the accelerator tunnel
         # dominated warm start-up; see sem_tpu.utils.hoist)
         from sem_tpu.utils.hoist import jit_hoisted
-        self._residual_jit = jit_hoisted(residual)
-        self._jac_diags_jit = jit_hoisted(jac_diags)
-        self._dres_jit = jit_hoisted(dres)
+        tag = f"@{self.grid.tag}/{self._linear_solver}"
+        self._residual_jit = jit_hoisted(residual, "ns.residual" + tag)
+        self._jac_diags_jit = jit_hoisted(jac_diags, "ns.jac_diags" + tag)
+        self._dres_jit = jit_hoisted(dres, "ns.dres" + tag)
         self._update_jit = jit_hoisted(update if self._linear_solver ==
-                                       "uzawa" else update_coupled_f64)
-        self._cres_jit = jit_hoisted(coupled_resid)
-        self._pc32_jit = jit_hoisted(coupled_pc32)
-        self._pcprep_jit = jit_hoisted(coupled_pcprep)
-        self._pass_pc_jit = jit_hoisted(coupled_pass_pc)
-        self._pass_rs_jit = jit_hoisted(coupled_pass_rs)
-        self._gmres32_jit = jit_hoisted(coupled_gmres32)
-        self._rownorm32_jit = jit_hoisted(coupled_rownorms32)
+                                       "uzawa" else update_coupled_f64,
+                                       "ns.update" + tag)
+        self._cres_jit = jit_hoisted(coupled_resid, "ns.cres" + tag)
+        self._pc32_jit = jit_hoisted(coupled_pc32, "ns.pc32" + tag)
+        self._pcprep_jit = jit_hoisted(coupled_pcprep, "ns.pcprep" + tag)
+        self._pass_pc_jit = jit_hoisted(coupled_pass_pc, "ns.pass_pc" + tag)
+        self._pass_rs_jit = jit_hoisted(coupled_pass_rs, "ns.pass_rs" + tag)
+        self._gmres32_jit = jit_hoisted(coupled_gmres32, "ns.gmres32" + tag)
+        self._rownorm32_jit = jit_hoisted(coupled_rownorms32,
+                                          "ns.rownorm32" + tag)
         self._pc64_fn = coupled_pc64    # traceable; vjp-able (adjoints)
         # flexible chunks are built lazily per inner strength k (each is a
         # separate megakernel — only pay its compile/load when used)
         self._make_fgmres32 = make_fgmres32
         self._fgmres32_jits = {}
+        # concurrent first-call prefetch of previously-recorded programs
+        # (time-to-first-solution; no-op without a manifest/accelerator)
+        from sem_tpu.utils import prefetch
+        prefetch.warm_async()
 
     def _update_coupled_mixed(self, res_u, res_v, res_cont, dp0, mtol,
                               velo_inner=None, x0_full=None):

@@ -25,20 +25,55 @@ Nesting composes: calling a hoisted function inside another traced function
 re-embeds its consts as the outer trace's constants, and hoisting the
 outermost entry point lifts them again — so only the outermost jit of each
 dispatch path needs to be hoisted.
+
+``label`` plugs the wrapper into :mod:`sem_tpu.utils.prefetch`: each
+compiled signature is recorded to the prefetch manifest, and later
+processes re-dispatch all recorded signatures concurrently right after
+solver construction (loads parallelize across threads; see prefetch.py).
+Builds are serialized per signature with an event so a prefetch thread and
+the real solve never compile the same program twice.
 """
 from __future__ import annotations
+
+import threading
 
 import jax
 from jax import tree_util
 
-__all__ = ["jit_hoisted"]
+__all__ = ["jit_hoisted", "warm_only"]
+
+# Thread-local flag set by sem_tpu.utils.prefetch worker threads: a warm
+# call compiles+loads the program (AOT lower().compile(), which this JAX
+# shares with the call-path executable cache — verified empirically with
+# jax_log_compiles) but never EXECUTES it, so warm arguments can be
+# allocation-free ShapeDtypeStructs and concurrent warm-ups cannot OOM the
+# device with dummy megakernel executions.
+_TL = threading.local()
 
 
-def jit_hoisted(fun):
+class warm_only:
+    """Context manager marking the current thread's hoisted calls as
+    compile/load-only (no execution; returns None)."""
+
+    def __enter__(self):
+        _TL.warm = True
+
+    def __exit__(self, *exc):
+        _TL.warm = False
+
+
+def jit_hoisted(fun, label: str = None):
     """Wrap ``fun`` like ``jax.jit(fun)`` but with every array constant the
     trace closes over hoisted out of the executable and passed as a runtime
-    argument (device-resident, transferred once per process)."""
-    cache = {}
+    argument (device-resident, transferred once per process).
+
+    :param label: stable identity for the prefetch manifest (include the
+        grid configuration — e.g. ``"ns.gmres32@P16_64x64"`` — so warm-ups
+        never cross solver configurations).  ``None`` disables prefetch
+        participation for this wrapper.
+    """
+    cache = {}       # key -> ("done", jf, consts) | ("building", Event)
+    lock = threading.Lock()
 
     def wrapper(*args):
         # Under an ACTIVE trace (this hoisted function called inside another
@@ -56,8 +91,22 @@ def jit_hoisted(fun):
         key = (in_tree, tuple((getattr(a, "shape", ()),
                                str(getattr(a, "dtype", type(a))))
                               for a in flat))
-        entry = cache.get(key)
-        if entry is None:
+        warm = getattr(_TL, "warm", False)
+        while True:
+            with lock:
+                entry = cache.get(key)
+                if entry is None:
+                    ev = threading.Event()
+                    cache[key] = ("building", ev)
+                    break
+                if entry[0] == "done":
+                    if warm:
+                        return None       # already built — nothing to warm
+                    _, jf, consts = entry
+                    return jf(consts, flat)
+                ev = entry[1]
+            ev.wait()       # another thread (prefetch or solve) is building
+        try:
             closed, out_shape = jax.make_jaxpr(fun, return_shape=True)(*args)
             out_tree = tree_util.tree_structure(out_shape)
             consts = [jax.device_put(c) for c in closed.consts]
@@ -67,10 +116,30 @@ def jit_hoisted(fun):
                 out = jax.core.eval_jaxpr(jaxpr, consts_, *flat_)
                 return tree_util.tree_unflatten(out_tree, out)
 
-            entry = (jax.jit(run), consts)
-            cache[key] = entry
-        jf, consts = entry
-        return jf(consts, flat)
+            jf = jax.jit(run)
+            # compile+load happens at the first call/compile — pay it here,
+            # inside the build critical section, so released waiters never
+            # race a second load of the same program
+            if warm:
+                jf.lower(consts, flat).compile()
+                out = None
+            else:
+                out = jf(consts, flat)
+            if label:
+                from sem_tpu.utils import prefetch
+                prefetch.note(label, args)
+            with lock:
+                cache[key] = ("done", jf, consts)
+        except BaseException:
+            with lock:
+                del cache[key]
+            raise
+        finally:
+            ev.set()
+        return out
 
     wrapper.__wrapped__ = fun
+    if label:
+        from sem_tpu.utils import prefetch
+        prefetch.register(label, wrapper)
     return wrapper
