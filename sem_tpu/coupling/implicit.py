@@ -92,7 +92,9 @@ def coupled_residual_fn(cd, ns):
 
 
 def _block_precon_transposed(cd, ns, x_star, params,
-                             inner_rtol: float = None):
+                             inner_rtol: float = None,
+                             inner_restart: int = 60,
+                             inner_maxiter: int = 600):
     """Transposed block-GAUSS-SEIDEL preconditioner of ``J_xᵀ``.
 
     The forward high-Ra lesson transposes directly: block-Jacobi ignores the
@@ -160,16 +162,22 @@ def _block_precon_transposed(cd, ns, x_star, params,
             lambda T: F(jnp.concatenate([T, uvp_star]), pj)[:N_cd], T_star)
         rt = float(inner_rtol)
 
+        # ``inner_restart``/``inner_maxiter`` bound the single-dispatch
+        # runtime of each (jitted) preconditioner application — at p16
+        # (3.4M DOF) an unbounded 600-iteration f64 inner loop per block
+        # risks accelerator watchdogs; the outer FGMRES is flexible, so a
+        # capped inner solve only weakens (never breaks) the application
         def ns_apply(r):
             q, _ = gmres(lambda z: vjp_ns(z)[0], r,
                          atol=rt * jnp.linalg.norm(r),
-                         restart=60, maxiter=600, precon=pcT)
+                         restart=inner_restart, maxiter=inner_maxiter,
+                         precon=pcT)
             return q
 
         def cd_apply(r):
             q, _ = gmres(lambda z: vjp_cd(z)[0], r,
                          atol=rt * jnp.linalg.norm(r),
-                         restart=60, maxiter=600,
+                         restart=inner_restart, maxiter=inner_maxiter,
                          precon=lambda t: cd._fdm(t))
             return q
     else:
@@ -192,7 +200,9 @@ def _block_precon_transposed(cd, ns, x_star, params,
 
 
 def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
-                  restart=60, maxiter=20000, inner_rtol: float = 1e-4):
+                  restart=60, maxiter=20000, inner_rtol: float = 1e-4,
+                  inner_restart: int = 60, inner_maxiter: int = 600,
+                  raise_on_fail: bool = True):
     """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state.
 
     The outer FGMRES runs on the ROW-SCALED transposed system
@@ -229,7 +239,9 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
             jax.random.PRNGKey(0))
     einv = 1.0 / e
     precon = _block_precon_transposed(cd, ns, x_star, params,
-                                      inner_rtol=inner_rtol)
+                                      inner_rtol=inner_rtol,
+                                      inner_restart=inner_restart,
+                                      inner_maxiter=inner_maxiter)
 
     # all callables device-native: _fgmres keeps every n-sized vector on
     # the device (host round trips per callback were the measured p16
@@ -243,13 +255,16 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
         # RAW-relative in one solve — at/below the f32 refinement floor
         basis_dtype=jnp.float64)
     if not ok:
-        raise RuntimeError(f"adjoint FGMRES: no convergence in {iters} "
-                           f"iterations")
+        if raise_on_fail:
+            raise RuntimeError(f"adjoint FGMRES: no convergence in {iters} "
+                               f"iterations")
+        print(f"adjoint FGMRES: best-effort exit after {iters} iterations "
+              f"(gradient accuracy degraded)", flush=True)
     return jnp.asarray(lam), iters
 
 
 def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10,
-              inner_rtol: float = 1e-4):
+              inner_rtol: float = 1e-4, **adjoint_kw):
     """Gradient of ``loss_fn(x)`` at the converged coupled state w.r.t. the
     physics parameters, by the implicit-function theorem.
 
@@ -258,12 +273,15 @@ def gradients(cd, ns, x_star, loss_fn, params, atol=1e-10,
     :param params: dict of parameter values (``Re``, ``Ra``, ``Pr``, ...)
     :param inner_rtol: adjoint-preconditioner strength (see
         :func:`solve_adjoint`; the 1e-4 default matches the forward BGS)
+    :param adjoint_kw: forwarded to :func:`solve_adjoint` (restart,
+        maxiter, inner_restart, inner_maxiter, raise_on_fail — the
+        dispatch-bounding knobs for large-DOF states)
     :return: (loss value, dict of d loss / d param)
     """
     x_star = jnp.asarray(x_star)
     loss, gbar = jax.value_and_grad(loss_fn)(x_star)
     lam, _ = solve_adjoint(cd, ns, x_star, np.asarray(gbar), params,
-                           atol=atol, inner_rtol=inner_rtol)
+                           atol=atol, inner_rtol=inner_rtol, **adjoint_kw)
 
     F = coupled_residual_fn(cd, ns)
     pj = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}

@@ -455,6 +455,8 @@ class BoussinesqMDA:
         self._jnk_cycle_jit = None  # built lazily on first device JNK solve
         self._fg_fused_jits = None  # fused host-FGMRES programs (lazy)
         self._bgs_rhs_jit = None    # fused BGS buoyancy-coupling RHS (lazy)
+        self._pc_fused_jit = None   # fused preconditioner application (lazy)
+        self._pc_fused_k = None
         # mid-solve checkpointing (utils.checkpoint; SURVEY §5.4): every
         # ``checkpoint_every`` accepted nonlinear iterations/PTC steps the
         # coupled iterate is persisted — long high-Ra runs survive
@@ -501,6 +503,13 @@ class BoussinesqMDA:
             if (self._jnk_cycle_jit is None and self.device_krylov
                     and prefetch.known_labels("mda.cycle" + pair)):
                 self._jnk_cycle_jit = self._build_jnk_cycle()
+            k = ns_s._velo_inner
+            if (self._pc_fused_jit is None and prefetch.known_labels(
+                    f"mda.pc_apply{pair}/k{k}")):
+                if k > 0 and k not in ns_s._fgmres32_jits:
+                    ns_s._fgmres32_jits[k] = ns_s._make_fgmres32(k)
+                self._pc_fused_jit = self._build_pc_fused(k)
+                self._pc_fused_k = k
             pre = "ns.fgmres32k"
             suf = f"@{ns_s.grid.tag}/{ns_s._linear_solver}"
             for lbl in prefetch.known_labels(pre):
@@ -811,6 +820,150 @@ class BoussinesqMDA:
         return (jit_hoisted(start, "mda.fg_start" + fgtag),
                 jit_hoisted(step, "mda.fg_step" + fgtag))
 
+    def _build_pc_fused(self, k_inner: int):
+        """ONE program for the whole block-Jacobi/BGS preconditioner
+        application of the host coupled FGMRES: the CD discipline solve,
+        the BGS buoyancy-coupling RHS, and the NS discipline solve fuse
+        into a single dispatch with ZERO intermediate readbacks.
+
+        The host-orchestrated discipline solves (``solve_linear`` →
+        ``krylov.refined_gmres_host``) cost ~6 dispatches + 2 blocking
+        scalar readbacks *per discipline per coupled iteration* — measured
+        ~19 s of glue in a 28 s direct p16 JNK solve, ~10 ms per host
+        round trip over the accelerator tunnel.  For PRECONDITIONER
+        applications the adaptive refinement logic (plateau detection,
+        learned floors, escalation) is unnecessary — a flexible outer
+        FGMRES tolerates any inexact application and a floored f32 iterate
+        is a usable preconditioner (the Ra=1e7 lesson) — so this program
+        runs the measured-median FIXED policy instead: per discipline, a
+        ``lax.scan`` of two (refinement pass → bounded f32 chunk) rounds,
+        where a round whose true residual already meets the discipline
+        tolerance short-circuits its chunk on device (tolerance set above
+        f32 max ⇒ the chunk's while_loop exits at iteration 0).  Update
+        solves (Newton/NJ/PTC steps) keep the adaptive host loop and its
+        escalation ladder untouched.
+
+        :param k_inner: NS chunk flavor — 0 = plain left-preconditioned
+            chunks, k>0 = row-scaled flexible chunks with k inner velocity
+            steps (``velo_inner``; the Ra≳1e7 configuration)
+        """
+        from sem_tpu.utils.hoist import jit_hoisted
+
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        Ncd, Nns = self.N_cd, self.N_ns
+        lp = jnp.float32
+        eps = float(np.finfo(np.float64).eps)
+        bgs = self.precon_type == "bgs"
+        RTOL = 1e-5                    # refined_gmres_host inner_rtol
+        BIG = jnp.asarray(3e38, lp)    # "skip this chunk" tolerance
+
+        def two_rounds(pass_f, chunk_f, b, n, mtol):
+            """Best-effort mixed-precision solve, fixed two-round policy."""
+            bn = jnp.linalg.norm(b)
+            atol = jnp.maximum(mtol * np.sqrt(n),
+                               jnp.maximum(mtol, 50 * eps) * bn)
+            zlp = jnp.zeros(b.shape, lp)
+
+            def body(carry, _):
+                x, xin, done = carry
+                x, rn, rp, rpn = pass_f(x, xin)
+                done = done | (rn <= atol)
+                atol_lp = jnp.where(done, BIG, RTOL * rpn.astype(lp))
+                out = chunk_f(rp, zlp, atol_lp)
+                return (x, out[0], done), out[1].iterations
+
+            (x, xin, _), its = lax.scan(
+                body, (jnp.zeros_like(b), zlp, jnp.zeros((), bool)),
+                None, length=2)
+            return x + xin.astype(x.dtype), its.sum()
+
+        def pc_apply(rT, ru, rv, rp,
+                     cd_u, cd_v, cd_s64, cd_ul32, cd_vl32, cd_s32,
+                     ns_u, ns_v, ns_jac, ns_ul32, ns_vl32, ns_jac32,
+                     ns_s32, dinv32, mtol_cd, mtol_ns):
+            dT, its_cd = two_rounds(
+                lambda x, xin: cd_s._pass_jit(x, xin, rT, cd_u, cd_v,
+                                              cd_s64, cd_s32),
+                lambda r, x0, a: cd_s._gmres32_jit(r, x0, a, cd_ul32,
+                                                   cd_vl32, cd_s32)[:2],
+                rT, Ncd, mtol_cd)
+            if bgs:
+                # forward the buoyancy block J_{v,T} = −(Gr/Re)·M through
+                # the cross-mesh transfer into the NS velocity RHS
+                from sem_tpu import operators as ops
+                from sem_tpu.interp import apply_transfer
+                dT_ns = apply_transfer(cd_s.grid, ns_s.grid, dT)
+                rv = rv + ns_s._Gr_over_Re * ops.apply_mass(ns_s.grid,
+                                                            dT_ns)
+            b = jnp.concatenate([ru, rv, rp])
+            if k_inner > 0:
+                chunkf = ns_s._fgmres32_jits[k_inner]
+                xn, its_ns = two_rounds(
+                    lambda x, xin: ns_s._pass_rs_jit(x, xin, b, ns_u, ns_v,
+                                                     ns_jac, dinv32),
+                    lambda r, x0, a: chunkf(r, x0, a, ns_ul32, ns_vl32,
+                                            ns_jac32, ns_s32, dinv32)[:2],
+                    b, 3 * Nns, mtol_ns)
+            else:
+                xn, its_ns = two_rounds(
+                    lambda x, xin: ns_s._pass_pc_jit(x, xin, b, ns_u, ns_v,
+                                                     ns_jac, ns_ul32,
+                                                     ns_vl32, ns_s32),
+                    lambda r, x0, a: ns_s._gmres32_jit(r, x0, a, ns_ul32,
+                                                       ns_vl32, ns_jac32,
+                                                       ns_s32)[:2],
+                    b, 3 * Nns, mtol_ns)
+            return (dT, xn[:Nns], xn[Nns:2 * Nns], xn[2 * Nns:],
+                    its_cd, its_ns)
+
+        return jit_hoisted(
+            pc_apply, f"mda.pc_apply@{cd_s.grid.tag}|{ns_s.grid.tag}"
+                      f"/k{k_inner}{'b' if bgs else 'j'}")
+
+    def _pc_fused(self, mtol=None):
+        """Bind the fused preconditioner application to the CURRENT
+        linearization — or None when structurally unavailable (non-mixed /
+        non-coupled solvers) or disabled (``SEM_TPU_FUSED_PC=0``)."""
+        cd_s, ns_s = self.cd_comp.cd, self.ns_comp.ns
+        if (os.environ.get("SEM_TPU_FUSED_PC", "1") == "0"
+                or ns_s._linear_solver != "coupled"
+                or not ns_s._mixed_precision or not cd_s._mixed_precision):
+            return None
+        k = ns_s._velo_inner
+        if self._pc_fused_jit is None or self._pc_fused_k != k:
+            if k > 0 and k not in ns_s._fgmres32_jits:
+                ns_s._fgmres32_jits[k] = ns_s._make_fgmres32(k)
+            self._pc_fused_jit = self._build_pc_fused(k)
+            self._pc_fused_k = k
+        pcj = self._pc_fused_jit
+        mtol_cd = float(cd_s._mtol if mtol is None else mtol)
+        mtol_ns = float(ns_s._mtol if mtol is None else mtol)
+        cd_ul32, cd_vl32, cd_s32, cd_s64 = cd_s._lin32()
+        ns_ul32, ns_vl32, ns_jac32, ns_s32 = ns_s._lin32()
+        if k > 0:
+            dinv32 = ns_s._dinv32
+            if dinv32 is None:
+                dinv32 = 1.0 / ns_s._rownorm32_jit(ns_ul32, ns_vl32,
+                                                   ns_jac32,
+                                                   jax.random.PRNGKey(0))
+                ns_s._dinv32 = dinv32
+        else:
+            dinv32 = jnp.zeros((), jnp.float32)  # unused placeholder
+        lin = (cd_s._u, cd_s._v, cd_s64, cd_ul32, cd_vl32, cd_s32,
+               ns_s._u_lin, ns_s._v_lin, ns_s._jac, ns_ul32, ns_vl32,
+               ns_jac32, ns_s32, dinv32,
+               jnp.asarray(mtol_cd, jnp.float64),
+               jnp.asarray(mtol_ns, jnp.float64))
+
+        def precon_split(rT, ru, rv, rp):
+            out = pcj(rT, ru, rv, rp, *lin)
+            # parity with the host path's per-application accounting
+            self.cd_comp.iter_count_solve += 1
+            self.ns_comp.iter_count_solve += 1
+            return out[:4]
+
+        return precon_split
+
     def _fg_fused(self, mtol=None, best_effort=True):
         """Bind the fused host-FGMRES programs to the CURRENT linearization
         and return the ``(start, step, precon_split)`` triple for
@@ -831,9 +984,11 @@ class BoussinesqMDA:
         def step(*a):
             return stepj(*a, *lin)
 
-        def precon_split(rT, ru, rv, rp):
-            return self._block_jacobi_split(rT, ru, rv, rp, mtol=mtol,
-                                            best_effort=best_effort)
+        precon_split = (self._pc_fused(mtol=mtol) if best_effort else None)
+        if precon_split is None:
+            def precon_split(rT, ru, rv, rp):
+                return self._block_jacobi_split(rT, ru, rv, rp, mtol=mtol,
+                                                best_effort=best_effort)
 
         return start, step, precon_split
 
