@@ -112,7 +112,6 @@ class CoupledState:
         return CoupledState(self.T, self.u, self.v, self.p)
 
 
-@jax.jit
 def _fg_row(buf, vec, k):
     """Write ``vec`` into row ``k`` of the padded device basis ``buf``.
     ``k`` is a traced operand, so every iteration reuses ONE cached
@@ -121,14 +120,12 @@ def _fg_row(buf, vec, k):
     return lax.dynamic_update_slice(buf, vec[None, :], (k, jnp.int32(0)))
 
 
-@jax.jit
 def _fg_read_row(buf, k):
     """Read row ``k`` of the padded device basis (traced index — one
     cached executable for all rows)."""
     return lax.dynamic_slice(buf, (k, jnp.int32(0)), (1, buf.shape[1]))[0]
 
 
-@jax.jit
 def _fg_cgs2(V, w, k):
     """One fixed-shape CGS2 step against the padded basis ``V`` (m+1, n).
 
@@ -150,13 +147,23 @@ def _fg_cgs2(V, w, k):
     return V, jnp.concatenate([h1 + h2, nw[None]])
 
 
-@jax.jit
 def _fg_update(x, Z, y):
     """x + Zᵀy with ``y`` zero-padded to the full window (dead rows × 0).
     The product runs in the (f32) basis dtype and accumulates into the
     (f64) iterate dtype."""
     return x + jnp.matmul(Z.T, y,
                           precision=lax.Precision.HIGHEST).astype(x.dtype)
+
+
+# hoisted (not plain jax.jit) so these per-iteration glue programs join the
+# prefetch manifest — every small program is still a ~2 s first-call load
+# over the accelerator tunnel, paid mid-solve without prefetch
+from sem_tpu.utils.hoist import jit_hoisted as _jit_hoisted  # noqa: E402
+
+_fg_row = _jit_hoisted(_fg_row, "mda.fg_row")
+_fg_read_row = _jit_hoisted(_fg_read_row, "mda.fg_read_row")
+_fg_cgs2 = _jit_hoisted(_fg_cgs2, "mda.fg_cgs2")
+_fg_update = _jit_hoisted(_fg_update, "mda.fg_update")
 
 
 def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,

@@ -486,7 +486,6 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
                          stalled=stalled, resweeps=state[14]), hist
 
 
-@jax.jit
 def _accum(x, xin):
     """Refinement update ``x + xin`` accumulated in the iterate dtype —
     one program instead of an astype + add dispatch pair (every extra
@@ -494,7 +493,6 @@ def _accum(x, xin):
     return x + xin.astype(x.dtype)
 
 
-@jax.jit
 def rowscale_prep(r, scale, dinv):
     """Fused per-pass prep for ROW-SCALED refinement chunks: downcast,
     scale by the stochastic row-norm inverse, and compute the chunk
@@ -503,6 +501,14 @@ def rowscale_prep(r, scale, dinv):
     rp = r.astype(dinv.dtype) * dinv
     rpn = jnp.linalg.norm(rp)
     return rp, scale * rpn, rpn
+
+
+# hoisted so these refinement-loop glue programs join the prefetch manifest
+# (each is a ~2 s first-call load over the accelerator tunnel)
+from sem_tpu.utils.hoist import jit_hoisted as _jit_hoisted  # noqa: E402
+
+_accum = _jit_hoisted(_accum, "kry.accum")
+rowscale_prep = _jit_hoisted(rowscale_prep, "kry.rowscale_prep")
 
 
 def refined_gmres_host(cres: Callable, pc_lp: Callable, gmres_chunk: Callable,

@@ -41,9 +41,9 @@ run() {  # run <name> <timeout-s> <cmd...>
 for s in "${steps[@]}"; do
   case "$s" in
     finish1e7)
-      # the resume driver appends "exit 0" to its log iff run() returned,
-      # i.e. the march converged (budget exhaustion raises -> exit 1)
-      if grep -q "^exit 0" /tmp/ra1e7_resume.log 2>/dev/null; then
+      # the study run writes the full-field .npz only on a CONVERGED run
+      # (budget exhaustion raises before the save)
+      if [ -f "${CKPT7%.ckpt.npz}.npz" ]; then
         echo "Ra=1e7 already converged"; else
         run finish1e7 12600 python study/boussinesq_run.py -P 16 -Ne 64 \
           -Ra 1e7 -mode PTC -velo_inner 5 -ckpt True -resume True \

@@ -121,6 +121,23 @@ def test_host_fgmres_fused_matches_unfused():
     assert rn_f <= 1.01 * rn_ref + 1e-13
 
 
+def test_fused_pc_matches_host_pc(monkeypatch):
+    """The one-dispatch fused block-Jacobi/BGS preconditioner application
+    (SEM_TPU_FUSED_PC=1, fixed two-round best-effort policy) and the
+    host-orchestrated adaptive refinement (=0) drive the host coupled
+    FGMRES to the same solution — a preconditioner difference may shift
+    iteration counts slightly but never the converged state."""
+    monkeypatch.setenv("SEM_TPU_DEVICE_KRYLOV_MAX_DOF", "0")  # host path
+    sols = {}
+    for pc in ("1", "0"):
+        monkeypatch.setenv("SEM_TPU_FUSED_PC", pc)
+        cd, ns, mda = build_coupled(1.0, 1.0, mode="JNK", **QUICK)
+        s = mda.solve()
+        sols[pc] = np.asarray(s.u)
+        assert mda.stats.nonlinear_iters <= 6
+    np.testing.assert_allclose(sols["1"], sols["0"], atol=1e-7)
+
+
 def test_mda_different_disciplinary_resolutions():
     """CD and NS run at different (P, N_e) like the study harness
     (reference study/Boussinesq_run.py:50-51: CD at N_e/2)."""
