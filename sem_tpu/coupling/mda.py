@@ -963,7 +963,12 @@ class BoussinesqMDA:
                jnp.asarray(mtol_ns, jnp.float64))
 
         def precon_split(rT, ru, rv, rp):
-            out = pcj(rT, ru, rv, rp, *lin)
+            # normalize program-boundary layouts (lesson: GSPMD auto-layouts
+            # leaking between compiled programs produced numerically wrong
+            # solves; the host path gets this from place() inside
+            # _get_update — sharding.place is a no-op without a mesh)
+            from sem_tpu.parallel.sharding import place
+            out = pcj(place(rT), place(ru), place(rv), place(rp), *lin)
             # parity with the host path's per-application accounting
             self.cd_comp.iter_count_solve += 1
             self.ns_comp.iter_count_solve += 1
