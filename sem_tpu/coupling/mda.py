@@ -486,6 +486,7 @@ class BoussinesqMDA:
                               else float(time_deadline))
         self._t_start = None
         self._last_ckpt_iter = None
+        self._ptc_dt_current = None  # live PTC Δt, persisted in checkpoints
         self.stats = MDAStats()
         self.prefetch_programs()
 
@@ -634,8 +635,11 @@ class BoussinesqMDA:
             from sem_tpu.utils.checkpoint import save_checkpoint
             self.stats.cd_solves = self.cd_comp.iter_count_solve
             self.stats.ns_solves = self.ns_comp.iter_count_solve
+            extras = ({"ptc_dt": float(self._ptc_dt_current)}
+                      if self._ptc_dt_current is not None else None)
             save_checkpoint(self.checkpoint_path, s,
-                            self.checkpoint_config, self.stats)
+                            self.checkpoint_config, self.stats,
+                            extras=extras)
             self._last_ckpt_iter = k
 
     def _check_budget(self, s: CoupledState, k: int, norm: float):
@@ -1211,6 +1215,7 @@ class BoussinesqMDA:
         linfail_rejects = 0
         for k in range(1, self.maxiter + 1):
             dt = ctrl.dt
+            self._ptc_dt_current = dt   # persisted by _maybe_checkpoint
             self._print("PTC", k - 1, f"{norm}\tdt={dt:.3g}")
             if norm <= self.atol_nonlin:
                 self.stats.nonlinear_iters = k - 1

@@ -24,7 +24,8 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 _FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, state, config: dict, stats=None) -> None:
+def save_checkpoint(path: str, state, config: dict, stats=None,
+                    extras: dict = None) -> None:
     """Persist a coupled iterate.
 
     :param path: target ``.npz`` path
@@ -33,8 +34,14 @@ def save_checkpoint(path: str, state, config: dict, stats=None) -> None:
     :param config: the configuration dict that generated the state (verified
         on load)
     :param stats: optional ``MDAStats`` to carry iteration counters
+    :param extras: optional JSON-able scalars to carry solver-controller
+        state across resumes (e.g. the PTC pseudo-time step ``ptc_dt`` — a
+        resumed march that restarts the SER ramp at Δt₀ re-crawls dozens of
+        cheap steps it already took)
     """
     meta = {"version": _FORMAT_VERSION, "config": config}
+    if extras:
+        meta["extras"] = extras
     arrays = dict(T=np.asarray(state.T), u=np.asarray(state.u),
                   v=np.asarray(state.v), p=np.asarray(state.p))
     if stats is not None:
@@ -43,8 +50,11 @@ def save_checkpoint(path: str, state, config: dict, stats=None) -> None:
     np.savez(path, meta=json.dumps(meta), **arrays)
 
 
-def load_checkpoint(path: str, expect_config: dict = None):
-    """Load a coupled iterate; returns ``(CoupledState, config, iters)``.
+def load_checkpoint(path: str, expect_config: dict = None,
+                    with_extras: bool = False):
+    """Load a coupled iterate; returns ``(CoupledState, config, iters)``,
+    plus the saved ``extras`` dict as a fourth element when
+    ``with_extras=True``.
 
     :param expect_config: if given, raises ValueError on any mismatch with
         the stored configuration.
@@ -65,4 +75,7 @@ def load_checkpoint(path: str, expect_config: dict = None):
         state = CoupledState(jnp.asarray(z["T"]), jnp.asarray(z["u"]),
                              jnp.asarray(z["v"]), jnp.asarray(z["p"]))
         iters = z["iters"].tolist() if "iters" in z else None
+        extras = meta.get("extras", {})
+    if with_extras:
+        return state, config, iters, extras
     return state, config, iters

@@ -149,11 +149,20 @@ def run(log=False, save=True,
                 state0 = None
                 if resume and os.path.exists(kw["checkpoint_path"]):
                     from sem_tpu.utils.checkpoint import load_checkpoint
-                    state0, _, it0 = load_checkpoint(
+                    state0, _, it0, extras = load_checkpoint(
                         kw["checkpoint_path"],
-                        expect_config=mda.checkpoint_config)
+                        expect_config=mda.checkpoint_config,
+                        with_extras=True)
+                    # continue the SER Δt ramp where the checkpoint left it
+                    # (unless the user pinned -ptc_dt0 explicitly) — a
+                    # restarted ramp re-crawls dozens of cheap steps
+                    if extras.get("ptc_dt") and ptc_dt0 is None:
+                        mda.ptc_dt0 = float(extras["ptc_dt"])
                     print(f"resuming from {kw['checkpoint_path']} "
-                          f"(saved iters {list(it0) if it0 is not None else '?'})")
+                          f"(saved iters "
+                          f"{list(it0) if it0 is not None else '?'}"
+                          + (f", dt={extras['ptc_dt']:.3g}"
+                             if extras.get("ptc_dt") else "") + ")")
                 elif init:
                     # warm-start from a checkpoint of a DIFFERENT physics
                     # config (manual Ra/Re continuation: e.g. seed the

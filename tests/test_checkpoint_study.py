@@ -167,3 +167,25 @@ def test_cli_budget_exit_and_cross_physics_init(tmp_path):
         timeout=500)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "init from" in out2.stdout
+
+
+def test_ptc_dt_persists_across_resume(tmp_path):
+    """PTC checkpoints carry the live SER Δt (checkpoint ``extras``): a
+    resumed march continues the pseudo-time ramp where it stopped instead
+    of re-crawling from Δt₀ (measured: a restarted p16 Ra=1e7 ramp spent
+    ~40 cheap steps re-covering ground its checkpoint had already won)."""
+    path = str(tmp_path / "ptc.ckpt.npz")
+    kw = dict(Re=CFG["Re"], Ra=1e4, Pr=CFG["Pr"], P_cd=3, N_ex_cd=3,
+              N_ey_cd=3, P_ns=3, N_ex_ns=6, N_ey_ns=6, mode="PTC",
+              mtol_nonlin=1e-8, iprint=False)
+    cd, ns, mda = build_coupled(1.0, 1.0, checkpoint_path=path,
+                                checkpoint_every=2, **kw)
+    mda.solve()
+    loaded, _, _, extras = load_checkpoint(path, with_extras=True)
+    assert extras.get("ptc_dt", 0) > mda.ptc_dt0  # the ramp had grown
+    # resume semantics (study CLI): adopt the checkpointed Δt unless the
+    # user pinned -ptc_dt0 — here just assert the handoff value is usable
+    cd2, ns2, mda2 = build_coupled(1.0, 1.0, **kw)
+    mda2.ptc_dt0 = float(extras["ptc_dt"])
+    s = mda2.solve(loaded)
+    assert mda2.stats.nonlinear_iters <= mda.stats.nonlinear_iters
