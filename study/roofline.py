@@ -57,13 +57,25 @@ def _timed_chain(f, x, iters):
     return best / iters
 
 
-def measure_hbm_bw(mb=256, iters=50):
-    """Sustained HBM read+write bandwidth (GB/s) of a streaming triad-like
-    pass ``y = x * c + d`` at a size far beyond VMEM."""
+def measure_hbm_bw(mb=1024, reps=8):
+    """Sustained HBM read+write bandwidth (GB/s) of a streaming pass
+    ``y = x*c + d`` over a buffer far beyond VMEM.
+
+    Timed as SINGLE dispatches (min over reps), NOT the fori chain: XLA
+    fuses a chained elementwise loop into one tile-resident kernel (the
+    whole chain reads/writes HBM once), which inflated the first
+    measurement ~3 orders of magnitude.  At 1 GiB per pass the ~0.3 ms
+    dispatch floor biases the result < ~15% low."""
     n = mb * 1024 * 1024 // 4
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
-    t = _timed_chain(lambda x: x * 1.0000001 + 1e-12, x, iters)
-    return 2 * n * 4 / t / 1e9, t
+    x = jnp.ones(n, jnp.float32) * 1e-3
+    f = jax.jit(lambda x: x * 1.0000001 + 1e-12)
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * n * 4 / best / 1e9, best
 
 
 def measure_matmul_tf(k=4096, iters=30, dtype=jnp.float32,
