@@ -40,26 +40,17 @@ import threading
 import jax
 from jax import tree_util
 
-__all__ = ["jit_hoisted", "warm_only"]
+__all__ = ["jit_hoisted"]
 
-# Thread-local flag set by sem_tpu.utils.prefetch worker threads: a warm
-# call compiles+loads the program (AOT lower().compile(), which this JAX
-# shares with the call-path executable cache — verified empirically with
-# jax_log_compiles) but never EXECUTES it, so warm arguments can be
-# allocation-free ShapeDtypeStructs and concurrent warm-ups cannot OOM the
-# device with dummy megakernel executions.
-_TL = threading.local()
-
-
-class warm_only:
-    """Context manager marking the current thread's hoisted calls as
-    compile/load-only (no execution; returns None)."""
-
-    def __enter__(self):
-        _TL.warm = True
-
-    def __exit__(self, *exc):
-        _TL.warm = False
+# Warm calls (sem_tpu.utils.prefetch) are REAL calls with zero-filled
+# arguments: on the axon tunnel backend the expensive per-program event
+# (~2-90 s) happens at the first EXECUTION, not at compilation — an AOT
+# ``lower().compile()`` warm pass was measured to cost its full compile
+# AND leave the real first call paying the whole load anyway (first call
+# after AOT: 92 s; second: 0.03 s).  Executing in the warm thread is the
+# only way to actually pre-pay the load; the per-signature build lock
+# below guarantees the load is paid exactly once regardless of which
+# thread gets there first.
 
 
 def jit_hoisted(fun, label: str = None):
@@ -91,7 +82,6 @@ def jit_hoisted(fun, label: str = None):
         key = (in_tree, tuple((getattr(a, "shape", ()),
                                str(getattr(a, "dtype", type(a))))
                               for a in flat))
-        warm = getattr(_TL, "warm", False)
         while True:
             with lock:
                 entry = cache.get(key)
@@ -100,8 +90,6 @@ def jit_hoisted(fun, label: str = None):
                     cache[key] = ("building", ev)
                     break
                 if entry[0] == "done":
-                    if warm:
-                        return None       # already built — nothing to warm
                     _, jf, consts = entry
                     return jf(consts, flat)
                 ev = entry[1]
@@ -117,14 +105,10 @@ def jit_hoisted(fun, label: str = None):
                 return tree_util.tree_unflatten(out_tree, out)
 
             jf = jax.jit(run)
-            # compile+load happens at the first call/compile — pay it here,
-            # inside the build critical section, so released waiters never
-            # race a second load of the same program
-            if warm:
-                jf.lower(consts, flat).compile()
-                out = None
-            else:
-                out = jf(consts, flat)
+            # compile + per-process program load happen at the first call —
+            # pay them here, inside the build critical section, so released
+            # waiters never race a second load of the same program
+            out = jf(consts, flat)
             if label:
                 from sem_tpu.utils import prefetch
                 prefetch.note(label, args)

@@ -136,16 +136,29 @@ def _leaf_spec(a):
 
 
 def _make_leaf(spec):
-    """Allocation-free dummy leaf: warm calls only lower+compile (hoist.py
-    ``warm_only``), so ShapeDtypeStructs suffice — no device buffers for
-    megakernel-sized basis arguments."""
-    import jax
+    """Zero-filled dummy leaf reproducing the recorded jit signature
+    (shape, dtype, weak_type; python scalars by value).  Warm calls are
+    REAL executions — on the axon tunnel the per-program load is paid at
+    first execution, not at compilation (hoist.py), so ShapeDtypeStructs
+    cannot pre-pay it."""
+    import jax.numpy as jnp
     if spec["k"] == "py":
         v = spec["v"]
         return {"bool": bool, "int": int, "float": float,
                 "complex": lambda x: complex(x[0], x[1])}[spec["t"]](v)
-    return jax.ShapeDtypeStruct(tuple(spec["s"]), np.dtype(spec["d"]),
-                                weak_type=bool(spec.get("w", False)))
+    x = jnp.zeros(tuple(spec["s"]), np.dtype(spec["d"]))
+    if spec.get("w"):
+        try:  # no public weak_type constructor; best-effort private one
+            from jax._src.lax.lax import _convert_element_type
+            x = _convert_element_type(x, np.dtype(spec["d"]), weak_type=True)
+        except Exception:
+            pass
+    return x
+
+
+def _sig_arg_bytes(sig) -> int:
+    return sum(int(np.prod(s["s"])) * np.dtype(s["d"]).itemsize
+               for s in sig["leaves"] if s["k"] == "arr")
 
 
 def note(label: str, args):
@@ -192,12 +205,27 @@ def _rebuild_args(sig):
     return jax.tree_util.tree_unflatten(tree, leaves)
 
 
+# concurrent dummy EXECUTIONS allocate real device buffers (megakernel
+# arguments reach GiB scale at p16); cap how many large-argument warms run
+# at once so the transient working sets cannot OOM the device
+_big_sem = threading.Semaphore(2)
+_BIG_BYTES = 64 * 1024 * 1024
+
+
 def _warm_one(wrapper, sig):
-    from sem_tpu.utils.hoist import warm_only
     try:
-        args = _rebuild_args(sig)
-        with warm_only():       # compile/load only — never execute
-            wrapper(*args)      # per-key lock in hoist.py dedups vs the solve
+        big = _sig_arg_bytes(sig) > _BIG_BYTES
+        if big:
+            _big_sem.acquire()
+        try:
+            args = _rebuild_args(sig)
+            # REAL call: pays trace+compile+per-process load+one execution;
+            # the per-key lock in hoist.py dedups vs the solve and other
+            # warm threads, so the load is paid exactly once
+            wrapper(*args)
+        finally:
+            if big:
+                _big_sem.release()
         _stats["built"] += 1
     except Exception:           # wrong-epoch signature etc. — harmless
         _stats["failed"] += 1
