@@ -202,7 +202,7 @@ def _block_precon_transposed(cd, ns, x_star, params,
 def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
                   restart=60, maxiter=20000, inner_rtol: float = 1e-4,
                   inner_restart: int = 60, inner_maxiter: int = 600,
-                  raise_on_fail: bool = True):
+                  raise_on_fail: bool = True, max_basis_gb: float = 0.5):
     """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state.
 
     The outer FGMRES runs on the ROW-SCALED transposed system
@@ -229,6 +229,18 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     F = coupled_residual_fn(cd, ns)
     x_star = jnp.asarray(x_star)
     params = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}
+    # Memory-scale the Krylov windows: the outer f64 FGMRES keeps TWO
+    # padded (restart+1, n) bases, each inner block solve one more, and
+    # XLA's while-loop carry double-buffering + CGS2 temporaries multiply
+    # each live basis ~4-6× inside the jitted programs — at p16 (n = 3.4M)
+    # the naive restart-60 everywhere compiled to a 22.1 GB program on a
+    # 15.75 GB chip (measured OOM).  ``max_basis_gb`` caps each basis
+    # buffer (default sized so the multiplied footprint fits a 16 GB
+    # chip); small problems keep the full windows.
+    n = x_star.shape[0]
+    cap = max(8, int(max_basis_gb * 1e9 / (8 * max(n, 1))) - 1)
+    restart = min(restart, cap)
+    inner_restart = min(inner_restart, cap)
     _, vjp_x = jax.vjp(lambda x: F(x, params), x_star)
     mv = jax.jit(lambda lam: vjp_x(lam)[0])
 
