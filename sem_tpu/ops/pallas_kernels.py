@@ -10,16 +10,24 @@ dense matmuls; the assembled 1D operators are in fact *block-banded* (band
 2P+1 ≤ 129), so ~⅔ of those FLOPs multiply structural zeros.  This kernel
 
 * tiles the grid into 128-row programs,
-* contracts only the in-band operator blocks (one (256,384)×(384,C) matmul
-  for the x-direction; nb small (128,384)×(384,256) matmuls for the
-  y-direction), and
+* contracts only the in-band operator blocks with a **64-staggered input
+  tiling**: the input field is padded by half a block (64) in the
+  contracted direction, so a 128-row output block's band window
+  (128 + 2P ≤ 256 rows for P ≤ 64) spans exactly TWO input blocks — one
+  (256,256)×(256,C) matmul for the x-direction, nb (128,256)×(256,256)
+  matmuls for the y-direction.  (The round-1..4 aligned tiling needed
+  THREE blocks per window and computed the padded halo columns too:
+  4.55 GFLOP/apply at p16 64×64 vs 2.72 now — measured 43% of the matmul
+  roofline bound, study/roofline.py.)  Two differently-padded copies of
+  the field (row-staggered for the x-matmul, column-staggered for the
+  y-matmuls) keep every in-kernel slice block-aligned, and
 * fuses the mass weights, convection products, and the final combination in
-  VMEM — the field is read once from HBM and the result written once.
+  VMEM.
 
-Zero-padding to 128-multiples makes every out-of-range band contribution
-vanish, so no masking is needed.  Numerical parity with the XLA path is
-tested in tests/test_pallas.py; ``apply_system_pallas`` falls back to the
-XLA path on non-TPU backends (interpret mode is used in tests).
+Zero-padding makes every out-of-range band contribution vanish, so no
+masking is needed.  Numerical parity with the XLA path is tested in
+tests/test_pallas.py; ``apply_system_pallas`` falls back to the XLA path on
+non-TPU backends (interpret mode is used in tests).
 """
 from __future__ import annotations
 
@@ -41,58 +49,65 @@ __all__ = ["apply_system_pallas", "apply_system_best",
            "apply_coupled_system_pallas_sharded",
            "sharded_pallas_mesh"]
 
-_B = 128  # row/column block size (≥ the 1D operator half-band for P ≤ 63)
+_B = 128  # row/column block size (staggered tiling needs half-band P ≤ _B/2)
 
 
 @functools.lru_cache(maxsize=None)
-def _banded_constants(grid: Grid2D, dtype_name: str):
-    """Padded, block-banded forms of the 1D operators (host-side, cached)."""
+def _banded_constants_stag(grid: Grid2D, dtype_name: str):
+    """Staggered block-banded forms of the 1D operators (host-side, cached).
+
+    Output row/column block ``i`` (rows ``i·B .. i·B+B-1`` of the unpadded
+    field) reads input blocks ``i`` and ``i+1`` of a field padded by ``B/2``
+    at the start of the contracted axis — two blocks cover the band window
+    exactly when the half-band ``P ≤ B/2``.
+    """
     dt = np.dtype(dtype_name)
+    H = _B // 2
+    if grid.P > H:   # band window no longer fits two staggered blocks
+        raise ValueError(f"banded Pallas kernel supports P <= {H}")
     nbx = -(-grid.Ngx // _B)
     nby = -(-grid.Ngy // _B)
-    Cx = (nbx + 2) * _B           # padded rows (one halo block each side)
-    Cy = (nby + 2) * _B           # padded cols
 
-    def pad_mat(A, n_out, offset):
+    def pad_mat(A, n_out):
         out = np.zeros((n_out, n_out), dt)
-        out[offset:offset + A.shape[0], offset:offset + A.shape[1]] = A
+        out[H:H + A.shape[0], H:H + A.shape[1]] = A
         return out
 
-    # x-direction banded blocks: for each row block i (of the unpadded
-    # array, living at padded block i+1), keep columns of blocks i-1..i+1
-    K1xp = pad_mat(grid.K1x.astype(dt), Cx, _B)
-    G1xp = pad_mat(grid.G1x.astype(dt), Cx, _B)
-    bx = np.zeros((nbx, 2 * _B, 3 * _B), dt)
+    # x blocks: bx[i][kr, cc] = [K1x; G1x][i·B+kr, i·B+cc-H] — rows at
+    # OUTPUT alignment, columns in the row-staggered input coordinates
+    Kxp = pad_mat(grid.K1x.astype(dt), (nbx + 1) * _B)
+    Gxp = pad_mat(grid.G1x.astype(dt), (nbx + 1) * _B)
+    bx = np.zeros((nbx, 2 * _B, 2 * _B), dt)
     for i in range(nbx):
-        r0 = (i + 1) * _B
-        c0 = i * _B
-        bx[i, :_B] = K1xp[r0:r0 + _B, c0:c0 + 3 * _B]
-        bx[i, _B:] = G1xp[r0:r0 + _B, c0:c0 + 3 * _B]
+        r0, c0 = H + i * _B, i * _B
+        bx[i, :_B] = Kxp[r0:r0 + _B, c0:c0 + 2 * _B]
+        bx[i, _B:] = Gxp[r0:r0 + _B, c0:c0 + 2 * _B]
 
-    # y-direction banded blocks of [K1yᵀ, G1yᵀ]: for each col block j, keep
-    # rows of blocks j-1..j+1
-    K1yTp = pad_mat(grid.K1y.T.astype(dt), Cy, _B)
-    G1yTp = pad_mat(grid.G1y.T.astype(dt), Cy, _B)
-    by = np.zeros((nby, 3 * _B, 2 * _B), dt)
+    # y blocks of [K1yᵀ | G1yᵀ]: by[j][rr, cc] = K1yᵀ[j·B+rr-H, j·B+cc] —
+    # rows in the column-staggered input coordinates, columns at OUTPUT
+    # alignment
+    KyTp = pad_mat(grid.K1y.T.astype(dt), (nby + 1) * _B)
+    GyTp = pad_mat(grid.G1y.T.astype(dt), (nby + 1) * _B)
+    by = np.zeros((nby, 2 * _B, 2 * _B), dt)
     for j in range(nby):
-        c0 = (j + 1) * _B
-        r0 = j * _B
-        by[j, :, :_B] = K1yTp[r0:r0 + 3 * _B, c0:c0 + _B]
-        by[j, :, _B:] = G1yTp[r0:r0 + 3 * _B, c0:c0 + _B]
+        r0, c0 = j * _B, H + j * _B
+        by[j, :, :_B] = KyTp[r0:r0 + 2 * _B, c0:c0 + _B]
+        by[j, :, _B:] = GyTp[r0:r0 + 2 * _B, c0:c0 + _B]
 
     m1x = np.zeros((nbx * _B, 1), dt)
     m1x[:grid.Ngx, 0] = grid.m1x.astype(dt)
-    m1y = np.zeros((1, Cy), dt)
-    m1y[0, _B:_B + grid.Ngy] = grid.m1y.astype(dt)
-    return bx, by, m1x, m1y, nbx, nby, Cx, Cy
+    m1y = np.zeros((1, nby * _B), dt)
+    m1y[0, :grid.Ngy] = grid.m1y.astype(dt)
+    return bx, by, m1x, m1y, nbx, nby
 
 
 def _kernel(nby: int):
-    def kernel(wm1_ref, wc_ref, wp1_ref, u_ref, v_ref, bx_ref, by_ref,
+    def kernel(w1a_ref, w1b_ref, w2_ref, u_ref, v_ref, bx_ref, by_ref,
                m1x_ref, m1y_ref, coef_ref, out_ref):
-        C = wc_ref.shape[1]
-        # x-direction: one banded matmul produces K1x- and G1x-rows at once
-        wband = jnp.concatenate([wm1_ref[:], wc_ref[:], wp1_ref[:]], axis=0)
+        # x-direction: one staggered banded matmul produces the K1x- and
+        # G1x-rows of this output block at once (input = two row-staggered
+        # blocks; columns already at output alignment)
+        wband = jnp.concatenate([w1a_ref[:], w1b_ref[:]], axis=0)  # (2B, C)
         # accumulate in f32 always (Mosaic requires 32-bit matmul
         # accumulators); HIGHEST precision is an f32-input technique —
         # bf16 inputs use the native bf16-multiply/f32-accumulate mode
@@ -104,19 +119,16 @@ def _kernel(nby: int):
         Kx = xL[:_B]
         Gx = xL[_B:]
 
-        # y-direction: banded blocks over the column tiles (concatenate the
-        # per-tile results — in-kernel scatter is not lowerable on TPU)
-        W = wc_ref[:]
-        ys = [jnp.dot(W[:, j * _B:(j + 3) * _B], by_ref[j],
+        # y-direction: staggered banded blocks over the column tiles (the
+        # per-tile results concatenate exactly to the output width — no
+        # zero blocks; in-kernel scatter is not lowerable on TPU)
+        W2 = w2_ref[:]            # rows at output alignment, cols staggered
+        ys = [jnp.dot(W2[:, j * _B:(j + 2) * _B], by_ref[j],
                       preferred_element_type=jnp.float32,   # (B, 2B)
                       precision=prec)
               for j in range(nby)]
-        zleft = jnp.zeros((_B, _B), jnp.float32)
-        zright = jnp.zeros((_B, C - (nby + 1) * _B), jnp.float32)
-        Ky = jnp.concatenate([zleft] + [y[:, :_B] for y in ys] + [zright],
-                             axis=1)
-        Gy = jnp.concatenate([zleft] + [y[:, _B:] for y in ys] + [zright],
-                             axis=1)
+        Ky = jnp.concatenate([y[:, :_B] for y in ys], axis=1)
+        Gy = jnp.concatenate([y[:, _B:] for y in ys], axis=1)
 
         m1x = m1x_ref[:]          # (B, 1)
         m1y = m1y_ref[:]          # (1, C)
@@ -142,54 +154,58 @@ def apply_system_pallas(grid: Grid2D, u: jax.Array, v: jax.Array,
         return ops.apply_system(grid, u, v, w, coef)
 
     dt = w.dtype
-    bx, by, m1x, m1y, nbx, nby, Cx, Cy = _banded_constants(grid, dt.name)
+    bx, by, m1x, m1y, nbx, nby = _banded_constants_stag(grid, dt.name)
     Ngx, Ngy = grid.Ngx, grid.Ngy
+    H = _B // 2
+    Rout, Cout = nbx * _B, nby * _B     # output tiling (aligned)
 
-    def pad_field(f):
-        F = f.reshape(Ngx, Ngy)
-        return jnp.pad(F, ((_B, Cx - _B - Ngx), (_B, Cy - _B - Ngy)))
-
-    Wp = pad_field(w)
-    Up = pad_field(u.astype(dt))
-    Vp = pad_field(v.astype(dt))
+    W = w.reshape(Ngx, Ngy)
+    # two staggered views of the field: W1 row-staggered (x-matmul operand),
+    # W2 column-staggered (y-matmul operand); u, v, out stay output-aligned
+    W1 = jnp.pad(W, ((H, Rout + _B - H - Ngx), (0, Cout - Ngy)))
+    W2 = jnp.pad(W, ((0, Rout - Ngx), (H, Cout + _B - H - Ngy)))
+    pad_ctr = lambda f: jnp.pad(f.astype(dt).reshape(Ngx, Ngy),
+                                ((0, Rout - Ngx), (0, Cout - Ngy)))
     coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
 
     # index maps must return int32: under jax_enable_x64 integer arithmetic
     # promotes to i64, which Mosaic cannot legalize in block index maps
     i32 = lambda x: jnp.asarray(x, jnp.int32)
-    row_spec = lambda off: pl.BlockSpec(
-        (_B, Cy), lambda i: (i32(i + off), i32(0)),
-        memory_space=pltpu.VMEM)
     # Pallas canonicalizes index-map outputs to the x64 default integer,
     # which Mosaic cannot legalize — trace the kernel with x64 disabled
     # (the fields are f32/bf16; nothing in the kernel needs 64-bit types)
     with jax.enable_x64(False):
-            out = pl.pallas_call(
+        out = pl.pallas_call(
             _kernel(nby),
             grid=(nbx,),
             in_specs=[
-                row_spec(0),   # W rows i-1 (padded offset)
-                row_spec(1),   # W rows i
-                row_spec(2),   # W rows i+1
-                row_spec(1),   # u rows i
-                row_spec(1),   # v rows i
-                pl.BlockSpec((1, 2 * _B, 3 * _B),
+                pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),      # W1 block i
+                pl.BlockSpec((_B, Cout), lambda i: (i32(i + 1), i32(0)),
+                             memory_space=pltpu.VMEM),      # W1 block i+1
+                pl.BlockSpec((_B, Cout + _B), lambda i: (i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),      # W2 rows i
+                pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),      # u rows i
+                pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),      # v rows i
+                pl.BlockSpec((1, 2 * _B, 2 * _B),
                              lambda i: (i32(i), i32(0), i32(0)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),          # by (full)
+                             memory_space=pltpu.VMEM),      # bx block
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # by (full)
                 pl.BlockSpec((_B, 1), lambda i: (i32(i), i32(0)),
-                             memory_space=pltpu.VMEM),          # m1x block
-                pl.BlockSpec(memory_space=pltpu.VMEM),          # m1y (full)
-                pl.BlockSpec(memory_space=pltpu.SMEM),          # coef
+                             memory_space=pltpu.VMEM),      # m1x block
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # m1y (full)
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # coef
             ],
-            out_specs=pl.BlockSpec((_B, Cy), lambda i: (i32(i), i32(0)),
+            out_specs=pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nbx * _B, Cy), dt),
-                interpret=interpret,
-            )(Wp, Wp, Wp, Up, Vp, jnp.asarray(bx), jnp.asarray(by),
-          jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
+            out_shape=jax.ShapeDtypeStruct((Rout, Cout), dt),
+            interpret=interpret,
+        )(W1, W1, W2, pad_ctr(u), pad_ctr(v), jnp.asarray(bx),
+          jnp.asarray(by), jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
 
-    return out[:Ngx, _B:_B + Ngy].reshape(-1)
+    return out[:Ngx, :Ngy].reshape(-1)
 
 
 def _coupled_kernel():
@@ -198,46 +214,48 @@ def _coupled_kernel():
     rows of reference NavierStokes_Solver.py:138-160) in ONE kernel pass.
 
     2D-tiled: each (i, j) program computes one (B, B) output tile of all
-    three residual fields from the (3B, B) row band and (B, 3B) column band
-    of each input field — all six banded 1D operator products, the
-    mass-weighted combinations, the convection and Jacobian-diagonal terms,
-    and the Dirichlet/∂ₙp=0 row masking happen in VMEM on ~(B, B) tiles
-    (the 1D-row-tiled variant held (B, 3·Cy) strips and ran out of scoped
-    VMEM at p16 64×64).
+    three residual fields from a (2B, B) staggered row band and a (B, 2B)
+    staggered column band of each input field — all six banded 1D operator
+    products, the mass-weighted combinations, the convection and
+    Jacobian-diagonal terms, and the Dirichlet/∂ₙp=0 row masking happen in
+    VMEM on ~(B, B) tiles (the 1D-row-tiled variant held (B, 3·Cy) strips
+    and ran out of scoped VMEM at p16 64×64).  The center (B, B) tile of
+    each Krylov field is a sublane slice of its already-loaded row band —
+    four block reads per field, not five.
     """
-    def kernel(um1_ref, uc_ref, up1_ref, ujm_ref, ujp_ref,
-               vm1_ref, vc_ref, vp1_ref, vjm_ref, vjp_ref,
-               pm1_ref, pc_ref, pp1_ref, pjm_ref, pjp_ref,
+    H = _B // 2
+
+    def kernel(ua_ref, uap_ref, ub_ref, ubp_ref,
+               va_ref, vap_ref, vb_ref, vbp_ref,
+               pa_ref, pap_ref, pb_ref, pbp_ref,
                ul_ref, vl_ref, jxx_ref, jxy_ref, jyx_ref, jyy_ref, mb_ref,
                bx_ref, by_ref, m1x_ref, m1y_ref, coef_ref,
                dru_ref, drv_ref, drc_ref):
         m1x = m1x_ref[:]          # (B, 1)
         m1y = m1y_ref[:]          # (1, B)
         coef = coef_ref[0, 0]
-        hi = (jax.lax.Precision.HIGHEST if uc_ref.dtype == jnp.float32
+        hi = (jax.lax.Precision.HIGHEST if ua_ref.dtype == jnp.float32
               else jax.lax.Precision.DEFAULT)
 
-        def field_parts(rm1, rc, rp1, rjm, rjp):
-            wcol = jnp.concatenate([rm1[:], rc[:], rp1[:]], axis=0)  # (3B,B)
+        def field_parts(ra, rap, rb, rbp):
+            wcol = jnp.concatenate([ra[:], rap[:]], axis=0)     # (2B, B)
             # f32 accumulation (Mosaic requires 32-bit matmul accumulators)
             xL = jnp.dot(bx_ref[0], wcol,
                          preferred_element_type=jnp.float32,
                          precision=hi)                               # (2B,B)
-            wrow = jnp.concatenate([rjm[:], rc[:], rjp[:]], axis=1)  # (B,3B)
-            yR = jnp.dot(wrow, by_ref[0, 0],
+            wrow = jnp.concatenate([rb[:], rbp[:]], axis=1)     # (B, 2B)
+            yR = jnp.dot(wrow, by_ref[0],
                          preferred_element_type=jnp.float32,
                          precision=hi)                               # (B,2B)
             Kx, Gx = xL[:_B], xL[_B:]
             Ky, Gy = yR[:, :_B], yR[:, _B:]
-            return Kx * m1y + m1x * Ky, Gx * m1y, m1x * Gy
+            # center tile = the aligned rows inside the staggered row band
+            ctr = wcol[H:H + _B]
+            return Kx * m1y + m1x * Ky, Gx * m1y, m1x * Gy, ctr
 
-        Ku, gxu, gyu = field_parts(um1_ref, uc_ref, up1_ref, ujm_ref,
-                                   ujp_ref)
-        Kv, gxv, gyv = field_parts(vm1_ref, vc_ref, vp1_ref, vjm_ref,
-                                   vjp_ref)
-        Kp, gxp, gyp = field_parts(pm1_ref, pc_ref, pp1_ref, pjm_ref,
-                                   pjp_ref)
-        du, dv, dp = uc_ref[:], vc_ref[:], pc_ref[:]
+        Ku, gxu, gyu, du = field_parts(ua_ref, uap_ref, ub_ref, ubp_ref)
+        Kv, gxv, gyv, dv = field_parts(va_ref, vap_ref, vb_ref, vbp_ref)
+        Kp, gxp, gyp, _ = field_parts(pa_ref, pap_ref, pb_ref, pbp_ref)
         ul, vl = ul_ref[:], vl_ref[:]
         mb = mb_ref[:]            # 1.0 on Dirichlet rows, 0.0 elsewhere
         dru = Ku + coef * (ul * gxu + vl * gyu) \
@@ -268,22 +286,31 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
     :param mb: boundary (Dirichlet-row) mask, flat bool/float ``(N,)``
     """
     dt = q.dtype
-    bx, by, m1x, m1y, nbx, nby, Cx, Cy = _banded_constants(grid, dt.name)
+    bx, by, m1x, m1y, nbx, nby = _banded_constants_stag(grid, dt.name)
     Ngx, Ngy = grid.Ngx, grid.Ngy
     N = grid.N
+    H = _B // 2
+    Rout, Cout = nbx * _B, nby * _B
 
-    def pad_field(f):
-        F = f.reshape(Ngx, Ngy)
-        return jnp.pad(F, ((_B, Cx - _B - Ngx), (_B, Cy - _B - Ngy)))
+    def pad_A(f):   # row-staggered (x-matmul operand)
+        return jnp.pad(f.reshape(Ngx, Ngy),
+                       ((H, Rout + _B - H - Ngx), (0, Cout - Ngy)))
 
-    Up, Vp, Pp = (pad_field(q[k * N:(k + 1) * N]) for k in range(3))
-    Ulp = pad_field(ul.astype(dt))
-    Vlp = pad_field(vl.astype(dt))
-    jxx, jxy, jyx, jyy = (pad_field(j.astype(dt)) for j in jac)
-    mbp = pad_field(mb.astype(dt))
+    def pad_Bc(f):  # column-staggered (y-matmul operand)
+        return jnp.pad(f.reshape(Ngx, Ngy),
+                       ((0, Rout - Ngx), (H, Cout + _B - H - Ngy)))
+
+    def pad_ctr(f):  # output-aligned (elementwise operands)
+        return jnp.pad(f.astype(dt).reshape(Ngx, Ngy),
+                       ((0, Rout - Ngx), (0, Cout - Ngy)))
+
+    dU, dV, dP = (q[k * N:(k + 1) * N] for k in range(3))
+    Ua, Va, Pa = pad_A(dU), pad_A(dV), pad_A(dP)
+    Ub, Vb, Pb = pad_Bc(dU), pad_Bc(dV), pad_Bc(dP)
+    Ulp, Vlp = pad_ctr(ul), pad_ctr(vl)
+    jxx, jxy, jyx, jyy = (pad_ctr(j) for j in jac)
+    mbp = pad_ctr(mb)
     coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
-    # per-column-block y-operator bands reshaped for (i, j) indexing
-    by4 = by.reshape(nby, 1, 3 * _B, 2 * _B)
 
     i32 = lambda x: jnp.asarray(x, jnp.int32)
 
@@ -292,19 +319,20 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
                             lambda i, j: (i32(i + di), i32(j + dj)),
                             memory_space=pltpu.VMEM)
 
-    halo5 = [spec(0, 1), spec(1, 1), spec(2, 1),   # rows i-1, i, i+1
-             spec(1, 0), spec(1, 2)]               # cols j-1, j+1
-    ctr = spec(1, 1)
+    # per Krylov field: row-staggered blocks (i, i+1) of the A copy +
+    # column-staggered blocks (j, j+1) of the B copy
+    band4 = [spec(0, 0), spec(1, 0), spec(0, 0), spec(0, 1)]
+    ctr = spec(0, 0)
     with jax.enable_x64(False):
         dru, drv, drc = pl.pallas_call(
             _coupled_kernel(),
             grid=(nbx, nby),
-            in_specs=(halo5 * 3) + [ctr] * 7 + [
-                pl.BlockSpec((1, 2 * _B, 3 * _B),
+            in_specs=(band4 * 3) + [ctr] * 7 + [
+                pl.BlockSpec((1, 2 * _B, 2 * _B),
                              lambda i, j: (i32(i), i32(0), i32(0)),
                              memory_space=pltpu.VMEM),          # bx block
-                pl.BlockSpec((1, 1, 3 * _B, 2 * _B),
-                             lambda i, j: (i32(j), i32(0), i32(0), i32(0)),
+                pl.BlockSpec((1, 2 * _B, 2 * _B),
+                             lambda i, j: (i32(j), i32(0), i32(0)),
                              memory_space=pltpu.VMEM),          # by block
                 pl.BlockSpec((_B, 1), lambda i, j: (i32(i), i32(0)),
                              memory_space=pltpu.VMEM),          # m1x block
@@ -315,13 +343,12 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
             out_specs=[pl.BlockSpec((_B, _B),
                                     lambda i, j: (i32(i), i32(j)),
                                     memory_space=pltpu.VMEM)] * 3,
-            out_shape=[jax.ShapeDtypeStruct((nbx * _B, nby * _B), dt)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((Rout, Cout), dt)] * 3,
             interpret=interpret,
-        )(Up, Up, Up, Up, Up, Vp, Vp, Vp, Vp, Vp, Pp, Pp, Pp, Pp, Pp,
+        )(Ua, Ua, Ub, Ub, Va, Va, Vb, Vb, Pa, Pa, Pb, Pb,
           Ulp, Vlp, jxx, jxy, jyx, jyy, mbp,
-          jnp.asarray(bx), jnp.asarray(by4),
-          jnp.asarray(m1x), jnp.asarray(m1y.reshape(1, -1)[:, _B:]),
-          coef_arr)
+          jnp.asarray(bx), jnp.asarray(by),
+          jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
 
     def unpad(o):
         return o[:Ngx, :Ngy].reshape(-1)
@@ -337,12 +364,13 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
 # padded row-block dimension is sharded over the 1D mesh, each device
 # exchanges ONE _B-row halo block per side with its neighbors over ICI
 # (``lax.ppermute`` — edge devices receive zeros, matching the global zero
-# padding), and runs the single-chip kernel on its local row strip.  The
-# per-row-block banded constants (bx, m1x) shard along with the rows; the
-# column-direction constants (by, m1y) replicate.  The row-block count is
-# padded up to a multiple of the device count (all-zero blocks produce zero
-# rows — wasted only when N_e·P+1 divides badly; choose N_ex accordingly on
-# real pods).
+# padding), and runs the single-chip kernel on its local row strip.  With
+# the staggered tiling the halo is the HALF-block stagger pad (64 rows per
+# side).  The per-row-block banded constants (bx, m1x) shard along with the
+# rows; the column-direction constants (by, m1y) replicate.  The row-block
+# count is padded up to a multiple of the device count (all-zero blocks
+# produce zero rows — wasted only when N_e·P+1 divides badly; choose N_ex
+# accordingly on real pods).
 
 def _sharded_nbx(grid: Grid2D, ndev: int) -> int:
     nbx = -(-grid.Ngx // _B)
@@ -351,14 +379,14 @@ def _sharded_nbx(grid: Grid2D, ndev: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _banded_constants_sharded(grid: Grid2D, dtype_name: str, nbx_sh: int):
-    """Banded constants with the row-block axis zero-padded to ``nbx_sh``."""
-    bx, by, m1x, m1y, nbx, nby, Cx, Cy = _banded_constants(grid, dtype_name)
+    """Staggered banded constants, row-block axis zero-padded to ``nbx_sh``."""
+    bx, by, m1x, m1y, nbx, nby = _banded_constants_stag(grid, dtype_name)
     dt = np.dtype(dtype_name)
     bxs = np.zeros((nbx_sh,) + bx.shape[1:], dt)
     bxs[:nbx] = bx
     m1xs = np.zeros((nbx_sh * _B, 1), dt)
     m1xs[:m1x.shape[0]] = m1x
-    return bxs, by, m1xs, m1y, nby, Cy
+    return bxs, by, m1xs, m1y, nby, nby * _B
 
 
 def _halo_perms(ndev: int):
@@ -373,24 +401,25 @@ def apply_system_pallas_sharded(grid: Grid2D, u, v, w, coef, *,
     """:func:`apply_system_pallas` under manual SPMD over a 1D ``mesh``.
 
     Row strips (x-direction domain decomposition, matching
-    ``parallel.sharding.field_sharding``) with a one-block ICI halo exchange
+    ``parallel.sharding.field_sharding``) with a half-block ICI halo exchange
     per apply — the multi-chip replacement for the gated-off bare kernel.
     """
     dt = w.dtype
     ndev = int(mesh.devices.size)
     ax = mesh.axis_names[0]
     nbx_sh = _sharded_nbx(grid, ndev)
-    bx, by, m1x, m1y, nby, Cy = _banded_constants_sharded(grid, dt.name,
-                                                          nbx_sh)
+    bx, by, m1x, m1y, nby, Cout = _banded_constants_sharded(grid, dt.name,
+                                                            nbx_sh)
     Ngx, Ngy = grid.Ngx, grid.Ngy
     nbx_loc = nbx_sh // ndev
     Rsh = nbx_sh * _B
+    H = _B // 2
 
     def pad_field(f):
         F = f.reshape(Ngx, Ngy)
-        # rows: pad to the sharded block count, NO halo (built per-shard);
-        # cols: one halo block left, zero-fill right — as the bare kernel
-        return jnp.pad(F, ((0, Rsh - Ngx), (_B, Cy - _B - Ngy)))
+        # rows: pad to the sharded block count, NO stagger (the half-block
+        # halo is built per-shard); cols: output-aligned
+        return jnp.pad(F, ((0, Rsh - Ngx), (0, Cout - Ngy)))
 
     Wp = pad_field(w)
     Up = pad_field(u.astype(dt))
@@ -399,27 +428,33 @@ def apply_system_pallas_sharded(grid: Grid2D, u, v, w, coef, *,
     fwd, bwd = _halo_perms(ndev)
 
     i32 = lambda x: jnp.asarray(x, jnp.int32)
-    row_spec = lambda off: pl.BlockSpec(
-        (_B, Cy), lambda i: (i32(i + off), i32(0)),
-        memory_space=pltpu.VMEM)
 
     def local(Wl, Ul, Vl, bxl, byl, m1xl, m1yl, cl):
-        def halo(F):
-            top = jax.lax.ppermute(F[-_B:], ax, fwd)
-            bot = jax.lax.ppermute(F[:_B], ax, bwd)
-            return jnp.concatenate([top, F, bot], axis=0)
-
-        Wh = halo(Wl)
-        # u, v enter only through the center row spec — zero row pads suffice
-        zrow = lambda F: jnp.pad(F, ((_B, _B), (0, 0)))
+        # W1: row-staggered local view — my top half-block halo is the
+        # previous device's tail (edge devices receive zeros, matching the
+        # global stagger pad); nbx_loc+1 staggered blocks total
+        top = jax.lax.ppermute(Wl[-H:], ax, fwd)
+        bot = jax.lax.ppermute(Wl[:H], ax, bwd)
+        W1 = jnp.concatenate([top, Wl, bot], axis=0)
+        # W2: column-staggered view (columns are not sharded)
+        W2 = jnp.pad(Wl, ((0, 0), (H, H)))
         with jax.enable_x64(False):
             return pl.pallas_call(
                 _kernel(nby),
                 grid=(nbx_loc,),
                 in_specs=[
-                    row_spec(0), row_spec(1), row_spec(2),
-                    row_spec(1), row_spec(1),
-                    pl.BlockSpec((1, 2 * _B, 3 * _B),
+                    pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, Cout), lambda i: (i32(i + 1), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, Cout + _B),
+                                 lambda i: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_B, Cout), lambda i: (i32(i), i32(0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 2 * _B, 2 * _B),
                                  lambda i: (i32(i), i32(0), i32(0)),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -428,12 +463,12 @@ def apply_system_pallas_sharded(grid: Grid2D, u, v, w, coef, *,
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                 ],
-                out_specs=pl.BlockSpec((_B, Cy),
+                out_specs=pl.BlockSpec((_B, Cout),
                                        lambda i: (i32(i), i32(0)),
                                        memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((nbx_loc * _B, Cy), dt),
+                out_shape=jax.ShapeDtypeStruct((nbx_loc * _B, Cout), dt),
                 interpret=interpret,
-            )(Wh, Wh, Wh, zrow(Ul), zrow(Vl), bxl, byl, m1xl, m1yl, cl)
+            )(W1, W1, W2, Ul, Vl, bxl, byl, m1xl, m1yl, cl)
 
     from jax.sharding import PartitionSpec as P
     out = jax.shard_map(
@@ -446,7 +481,7 @@ def apply_system_pallas_sharded(grid: Grid2D, u, v, w, coef, *,
     )(Wp, Up, Vp, jnp.asarray(bx), jnp.asarray(by),
       jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
 
-    return out[:Ngx, _B:_B + Ngy].reshape(-1)
+    return out[:Ngx, :Ngy].reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "mesh", "interpret"))
@@ -464,15 +499,16 @@ def apply_coupled_system_pallas_sharded(grid: Grid2D, q, ul, vl, jac, mb,
     ndev = int(mesh.devices.size)
     ax = mesh.axis_names[0]
     nbx_sh = _sharded_nbx(grid, ndev)
-    bx, by, m1x, m1y, nby, Cy = _banded_constants_sharded(grid, dt.name,
-                                                          nbx_sh)
+    bx, by, m1x, m1y, nby, Cout = _banded_constants_sharded(grid, dt.name,
+                                                            nbx_sh)
     Ngx, Ngy, N = grid.Ngx, grid.Ngy, grid.N
     nbx_loc = nbx_sh // ndev
     Rsh = nbx_sh * _B
+    H = _B // 2
 
     def pad_field(f):
         F = f.reshape(Ngx, Ngy)
-        return jnp.pad(F, ((0, Rsh - Ngx), (_B, Cy - _B - Ngy)))
+        return jnp.pad(F, ((0, Rsh - Ngx), (0, Cout - Ngy)))
 
     Up, Vp, Pp = (pad_field(q[k * N:(k + 1) * N]) for k in range(3))
     Ulp = pad_field(ul.astype(dt))
@@ -480,8 +516,6 @@ def apply_coupled_system_pallas_sharded(grid: Grid2D, q, ul, vl, jac, mb,
     jxx, jxy, jyx, jyy = (pad_field(j.astype(dt)) for j in jac)
     mbp = pad_field(mb.astype(dt))
     coef_arr = jnp.asarray(coef, dt).reshape(1, 1)
-    by4 = by.reshape(nby, 1, 3 * _B, 2 * _B)
-    m1y_t = np.ascontiguousarray(m1y.reshape(1, -1)[:, _B:])
     fwd, bwd = _halo_perms(ndev)
 
     i32 = lambda x: jnp.asarray(x, jnp.int32)
@@ -491,31 +525,29 @@ def apply_coupled_system_pallas_sharded(grid: Grid2D, q, ul, vl, jac, mb,
                             lambda i, j: (i32(i + di), i32(j + dj)),
                             memory_space=pltpu.VMEM)
 
-    halo5 = [spec(0, 1), spec(1, 1), spec(2, 1),
-             spec(1, 0), spec(1, 2)]
-    ctr = spec(1, 1)
+    band4 = [spec(0, 0), spec(1, 0), spec(0, 0), spec(0, 1)]
+    ctr = spec(0, 0)
 
     def local(Ub, Vb, Pb, Ulb, Vlb, jxxb, jxyb, jyxb, jyyb, mbb,
-              bxl, by4l, m1xl, m1yl, cl):
-        def halo(F):
-            top = jax.lax.ppermute(F[-_B:], ax, fwd)
-            bot = jax.lax.ppermute(F[:_B], ax, bwd)
+              bxl, byl, m1xl, m1yl, cl):
+        def stag_rows(F):   # row-staggered view: half-block ICI halos
+            top = jax.lax.ppermute(F[-H:], ax, fwd)
+            bot = jax.lax.ppermute(F[:H], ax, bwd)
             return jnp.concatenate([top, F, bot], axis=0)
 
-        zrow = lambda F: jnp.pad(F, ((_B, _B), (0, 0)))
-        Uh, Vh, Ph = halo(Ub), halo(Vb), halo(Pb)
-        ctrs = [zrow(x) for x in (Ulb, Vlb, jxxb, jxyb, jyxb, jyyb, mbb)]
+        stag_cols = lambda F: jnp.pad(F, ((0, 0), (H, H)))
+        Ua, Va, Pa = stag_rows(Ub), stag_rows(Vb), stag_rows(Pb)
+        Uc, Vc, Pc = stag_cols(Ub), stag_cols(Vb), stag_cols(Pb)
         with jax.enable_x64(False):
             return pl.pallas_call(
                 _coupled_kernel(),
                 grid=(nbx_loc, nby),
-                in_specs=(halo5 * 3) + [ctr] * 7 + [
-                    pl.BlockSpec((1, 2 * _B, 3 * _B),
+                in_specs=(band4 * 3) + [ctr] * 7 + [
+                    pl.BlockSpec((1, 2 * _B, 2 * _B),
                                  lambda i, j: (i32(i), i32(0), i32(0)),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, 3 * _B, 2 * _B),
-                                 lambda i, j: (i32(j), i32(0), i32(0),
-                                               i32(0)),
+                    pl.BlockSpec((1, 2 * _B, 2 * _B),
+                                 lambda i, j: (i32(j), i32(0), i32(0)),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((_B, 1), lambda i, j: (i32(i), i32(0)),
                                  memory_space=pltpu.VMEM),
@@ -529,20 +561,21 @@ def apply_coupled_system_pallas_sharded(grid: Grid2D, q, ul, vl, jac, mb,
                 out_shape=[jax.ShapeDtypeStruct((nbx_loc * _B, nby * _B),
                                                 dt)] * 3,
                 interpret=interpret,
-            )(Uh, Uh, Uh, Uh, Uh, Vh, Vh, Vh, Vh, Vh,
-              Ph, Ph, Ph, Ph, Ph, *ctrs, bxl, by4l, m1xl, m1yl, cl)
+            )(Ua, Ua, Uc, Uc, Va, Va, Vc, Vc, Pa, Pa, Pc, Pc,
+              Ulb, Vlb, jxxb, jxyb, jyxb, jyyb, mbb,
+              bxl, byl, m1xl, m1yl, cl)
 
     from jax.sharding import PartitionSpec as P
     dru, drv, drc = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(ax, None),) * 10 + (
-            P(ax, None, None), P(None, None, None, None),
+            P(ax, None, None), P(None, None, None),
             P(ax, None), P(None, None), P(None, None)),
         out_specs=(P(ax, None),) * 3,
         check_vma=False,
     )(Up, Vp, Pp, Ulp, Vlp, jxx, jxy, jyx, jyy, mbp,
-      jnp.asarray(bx), jnp.asarray(by4), jnp.asarray(m1x),
-      jnp.asarray(m1y_t), coef_arr)
+      jnp.asarray(bx), jnp.asarray(by), jnp.asarray(m1x),
+      jnp.asarray(m1y), coef_arr)
 
     def unpad(o):
         return o[:Ngx, :Ngy].reshape(-1)

@@ -97,31 +97,34 @@ def measure_matmul_tf(k=4096, iters=30, dtype=jnp.float32,
 def kernel_counts(grid: Grid2D, dtype_bytes=4):
     """(FLOPs, HBM bytes) per apply, from the Pallas kernel's own tiling.
 
-    FLOPs are the ones ISSUED (dense in-band blocks; ~band/(3B) of them act
-    on structural zeros — that inefficiency is the price of MXU shape) plus
-    the elementwise combination.  Bytes assume each block-spec operand is
-    fetched once per program (no inter-program reuse — the conservative
-    model) plus the jit-level pad/unpad/scale passes around the kernel.
+    FLOPs are the ones ISSUED (dense in-band blocks of the 64-STAGGERED
+    tiling: a (2B,2B) x-block and nby (2B,2B) y-blocks per row program;
+    ~(2P+1)/(2B) of each block's rows/cols act on structural zeros — that
+    inefficiency is the price of MXU shape) plus the elementwise
+    combination.  Bytes assume each block-spec operand is fetched once per
+    program (no inter-program reuse — the conservative model) plus the
+    jit-level pad/unpad/scale passes around the kernel.
     """
     nbx = -(-grid.Ngx // _B)
     nby = -(-grid.Ngy // _B)
-    C = (nby + 2) * _B
+    C = nby * _B                                  # output-aligned width
     # per row program
-    mm_x = 2 * (2 * _B) * (3 * _B) * C            # (2B,3B)x(3B,C)
-    mm_y = nby * 2 * _B * (3 * _B) * (2 * _B)     # nby (B,3B)x(3B,2B)
+    mm_x = 2 * (2 * _B) * (2 * _B) * C            # (2B,2B)x(2B,C)
+    mm_y = nby * 2 * _B * (2 * _B) * (2 * _B)     # nby (B,2B)x(2B,2B)
     ew = 10 * _B * C                               # K2d/conv combination
     flops = nbx * (mm_x + mm_y + ew)
-    # per row program HBM: 3 W row blocks + u + v rows + bx block + by full
-    # + m1x + m1y in, one row block out
-    by_bytes = nby * 3 * _B * 2 * _B * dtype_bytes
-    per_prog = (5 * _B * C + 2 * _B * 3 * _B + _B + C + _B * C) * dtype_bytes \
-        + by_bytes
+    # per row program HBM: 2 W1 row blocks + 1 W2 row (C+B wide) + u + v
+    # rows + bx block + by full + m1x + m1y in, one row block out
+    by_bytes = nby * 2 * _B * 2 * _B * dtype_bytes
+    per_prog = (4 * _B * C + _B * (C + _B) + 2 * _B * 2 * _B
+                + _B + C + _B * C) * dtype_bytes + by_bytes
     kernel_bytes = nbx * per_prog
     # jit-level passes around the kernel (per apply, in the fori chain):
-    # pad W (read N, write padded), unpad+scale (read padded row range,
-    # write N); u/v pads are loop-invariant and hoisted by XLA
+    # pad W twice (read N, write W1 + W2), unpad+scale (read padded row
+    # range, write N); u/v pads are loop-invariant and hoisted by XLA
     N = grid.N
-    pad_bytes = (N + (nbx + 2) * _B * C + nbx * _B * C + N) * dtype_bytes
+    pad_bytes = (2 * N + (nbx + 1) * _B * C + nbx * _B * (C + _B)
+                 + nbx * _B * C + N) * dtype_bytes
     return flops, kernel_bytes + pad_bytes, dict(
         nbx=nbx, nby=nby, C=C, mm_x=mm_x, mm_y=mm_y,
         kernel_bytes=kernel_bytes, pad_bytes=pad_bytes)

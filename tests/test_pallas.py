@@ -10,7 +10,7 @@ from sem_tpu.ops import apply_system_pallas
 RNG = np.random.default_rng(21)
 
 
-@pytest.mark.parametrize("P,Ne", [(4, 8), (7, 5)])
+@pytest.mark.parametrize("P,Ne", [(4, 8), (7, 5), (7, 40)])
 def test_pallas_apply_matches_xla(P, Ne):
     grid = Grid2D(P=P, N_ex=Ne, N_ey=Ne, L_x=1.0, L_y=1.3)
     u, v, w = (jnp.asarray(RNG.standard_normal(grid.N), jnp.float32)
@@ -22,7 +22,7 @@ def test_pallas_apply_matches_xla(P, Ne):
     np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
 
 
-@pytest.mark.parametrize("P,Ne", [(4, 8), (7, 5)])
+@pytest.mark.parametrize("P,Ne", [(4, 8), (7, 5), (7, 40)])
 def test_pallas_coupled_matches_xla(P, Ne):
     """The fused coupled saddle matvec kernel matches the operator-level
     composition (the NS tangent rows, reference NavierStokes_Solver.py

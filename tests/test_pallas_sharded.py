@@ -3,7 +3,7 @@
 The bare fused kernels are gated off under a multi-device mesh (a
 ``pallas_call`` inside a GSPMD-partitioned program gets replicated — VERDICT
 r2 missing-item #1); the ``*_sharded`` variants re-enable them via manual
-SPMD: row strips + one-block ICI halo exchange (``lax.ppermute``) + a local
+SPMD: row strips + half-block ICI halo exchange (``lax.ppermute``) + a local
 ``pallas_call`` per device (ROADMAP r4 #4).  Interpret mode makes them
 testable here without multi-chip TPU hardware; the kernel body is identical
 to the single-chip one, so numerical parity + HLO structure are the
