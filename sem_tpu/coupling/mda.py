@@ -166,8 +166,28 @@ _fg_cgs2 = _jit_hoisted(_fg_cgs2, "mda.fg_cgs2")
 _fg_update = _jit_hoisted(_fg_update, "mda.fg_update")
 
 
+def _forecast_doomed(hist, atol, remaining, slack=1.5):
+    """Whether a Krylov solve is hopeless within its remaining budget.
+
+    Projects the iterations still needed from the most OPTIMISTIC recent
+    contraction rate — the best of the trailing 20- and 40-iteration
+    windows of the estimated-residual history ``hist`` — and reports
+    doomed when even that exceeds ``slack``× the ``remaining`` iterations.
+    Pure host arithmetic; unit-pinned in tests/test_mda_fgmres.py.
+    """
+    res = hist[-1]
+    if len(hist) < 60 or res <= 0:
+        return False
+    rho = max(min((res / hist[-21]) ** (1 / 20.0),
+                  (res / hist[-41]) ** (1 / 40.0)), 1e-12)
+    if rho >= 1.0:
+        return True
+    need = np.log(res / atol) / -np.log(rho)
+    return need > slack * remaining
+
+
 def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
-            basis_dtype=jnp.float32, fused=None):
+            basis_dtype=jnp.float32, fused=None, forecast=False):
     """Host-orchestrated flexible GMRES with DEVICE-resident vectors.
 
     Control flow, the small Hessenberg recurrence, and the Givens rotations
@@ -225,6 +245,23 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
         ``matvec``/``precon``/``basis_dtype`` are ignored when given.  The
         rotated Hessenberg ``H`` and ``g`` live on device; the window-end
         triangular solve reads them back once (a few hundred bytes).
+    :param forecast: enable the convergence-forecast exit: once ≥60
+        iterations are in, project the iterations still needed from the
+        most optimistic recent contraction rate (best of the trailing
+        20/40-iteration windows); when even that exceeds 1.5× the remaining
+        budget, finish the window and return the partial iterate with
+        ``ok=False`` instead of grinding to ``maxiter``.  Motivated by the
+        Ra=1e8 p16 PTC probes of an uncrackable Δt band: the coupled solve
+        converged ~0.06%/iteration — real progress, so the <2%-per-40
+        plateau tests never fired — and burned the full 240-iteration
+        effort cap (~75 min/step over the tunnel) on solves that could
+        never reach ``atol_k`` (study/hw_logs/ra1e8.log step 2).  PTC
+        treats the partial step as a linear failure, keeps the (useful)
+        partial update, and cuts Δt — exactly what the grind would have
+        concluded an hour later.  Off for plain JNK solves: their
+        staircase convergence may legitimately spend >60 iterations flat
+        before dropping (krylov.py floor-detection lesson), and their
+        budgets are small anyway.
     """
     lp = basis_dtype
     if fused is not None:
@@ -238,6 +275,8 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
     m = restart
     beta_prev = None    # true residual at the previous restart
     stalled_in = False  # last window ended on the in-window plateau test
+    hist = []           # estimated residual per iteration (forecast exit)
+    doomed = False      # forecast exit tripped mid-window
     while it < maxiter:
         if fused is not None:
             out = f_start(x, b)
@@ -316,6 +355,7 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
             k_used = k + 1
             if callback is not None:
                 callback(it, res)
+            hist.append(res)
             if res <= atol or it >= maxiter:
                 break
             # in-window plateau (<2% estimated-residual progress over the
@@ -325,6 +365,12 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
                 stalled_in = True
                 break
             resw[k] = res
+            # convergence-forecast exit (docstring): even the best recent
+            # contraction rate cannot reach atol within 1.5× the remaining
+            # budget — finish the window and return the partial iterate
+            if forecast and _forecast_doomed(hist, atol, maxiter - it):
+                doomed = True
+                break
         # window ended without reaching atol and its estimate moved <2%:
         # flag it — the true-residual test above decides the stall
         if res > atol and res > 0.98 * beta:
@@ -351,6 +397,8 @@ def _fgmres(matvec, precon, b, atol, restart, maxiter, callback=None,
         x = _fg_update(x, Z, jnp.asarray(ypad, Z.dtype))
         if abs(g[k_used]) <= atol:
             return x, it, True
+        if doomed:
+            return x, it, False
     return x, it, False
 
 
@@ -1253,7 +1301,7 @@ class BoussinesqMDA:
                     callback=(lambda it, res: print(
                         f"   PTC GMRES: {it}\t{res}")
                         if self.iprint else None),
-                    fused=fused)
+                    fused=fused, forecast=True)
                 if fused is not None:
                     # the fused window-start program computes exactly
                     # ‖b − A·x‖ — reuse it for the TRUE linear residual

@@ -20,8 +20,8 @@ the coupled controller's, which subsumes the standalone one:
   failing Δt so SER does not immediately re-enter the bad band (measured:
   without the ceiling the controller oscillates, re-growing into failure
   every few steps near a near-singular large-Δt Jacobian).  The ceiling
-  relaxes 1.5× per healthy step.  Slow-but-real progress with a healthy
-  linear solve is the normal transient march and must NOT shrink Δt.
+  relaxes ``CEIL_RELAX``× per healthy step.  Slow-but-real progress with a
+  healthy linear solve is the normal transient march and must NOT shrink Δt.
 
 The controller is pure host-side state (two floats); the mass shift
 σ = scale/Δt it implies is carried in the solvers' Jacobian *diagonals* (GLL
@@ -50,7 +50,12 @@ class SERController:
     SHRINK_LINFAIL = 0.25  # Δt factor when the linear solve failed AND the
     #                        step went nowhere (<5% residual drop)
     RATIO_FLOOR = 0.1      # SER shrink cap on accepted steps
-    CEIL_RELAX = 1.5       # trust-region ceiling relaxation per healthy step
+    CEIL_RELAX = 1.25      # trust-region ceiling relaxation per healthy step
+    #   (was 1.5 through round 4; at Ra=1e8 p16 the 1.5 relax re-entered the
+    #   uncrackable Δt band every ~3 steps and each probe ground the full
+    #   per-step linear-effort cap — ~75 min/probe over the tunnel
+    #   (study/hw_logs/ra1e8.log steps 2/8).  1.25 spaces the probes ~6
+    #   steps apart; the forecast exit (mda._fgmres) makes each probe cheap)
     NOPROGRESS = 0.95      # "went nowhere": ‖F_new‖ > 0.95·‖F_old‖
 
     def __init__(self, dt0: float, growth: float = 3.0,

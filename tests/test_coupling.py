@@ -319,3 +319,41 @@ def test_dispatch_threshold_env_knobs(monkeypatch):
     state = mda_exp.solve()
     np.testing.assert_allclose(np.asarray(state.u), np.asarray(ref.u),
                                atol=1e-7)
+
+
+def test_fgmres_forecast_exit():
+    """The convergence-forecast exit (mda._forecast_doomed): a solve whose
+    most optimistic recent contraction rate cannot reach atol within 1.5x
+    the remaining budget returns early with the partial iterate (the Ra=1e8
+    p16 PTC probes ground a 240-iteration effort cap at ~0.06%/iteration --
+    real progress, so the plateau tests never fired; study/hw_logs/
+    ra1e8.log step 2)."""
+    from sem_tpu.coupling.mda import _fgmres, _forecast_doomed
+
+    # helper semantics on synthetic geometric histories
+    slow = [0.6 * 0.9994 ** k for k in range(80)]     # ~0.06%/it
+    assert _forecast_doomed(slow, atol=0.024, remaining=160)
+    fast = [0.6 * 0.9 ** k for k in range(80)]        # 10%/it: fine
+    assert not _forecast_doomed(fast, atol=1e-8, remaining=160)
+    # too little history: never fires
+    assert not _forecast_doomed(slow[:50], atol=0.024, remaining=200)
+    # stalled-but-short remaining budget: the plateau tests own that case,
+    # but the forecast must still report doomed on a non-converging tail
+    flat = [0.6] * 80
+    assert _forecast_doomed(flat, atol=0.024, remaining=10)
+
+    # end-to-end: forecast=True must not perturb a healthy solve
+    rng = np.random.default_rng(0)
+    n = 200
+    A = np.eye(n) * 4 + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    atol = 1e-10 * np.linalg.norm(b)
+    x_ref, it_ref, ok_ref = _fgmres(lambda v: jnp.asarray(A) @ v,
+                                    lambda r: r, jnp.asarray(b),
+                                    atol=atol, restart=10, maxiter=100)
+    x_fc, it_fc, ok_fc = _fgmres(lambda v: jnp.asarray(A) @ v,
+                                 lambda r: r, jnp.asarray(b),
+                                 atol=atol, restart=10, maxiter=100,
+                                 forecast=True)
+    assert ok_fc and it_fc == it_ref
+    np.testing.assert_allclose(np.asarray(x_fc), np.asarray(x_ref))

@@ -115,14 +115,16 @@ def test_ser_controller_semantics():
     c.accept(1.0, 0.99, lin_failed=True)
     assert c.dt == pytest.approx(0.015)
     assert c.dt_ceil == pytest.approx(0.03)
-    # healthy steps relax the ceiling 1.5x and SER growth respects it
+    # healthy steps relax the ceiling CEIL_RELAX x (1.25 since round 5:
+    # 1.5 re-probed the uncrackable Ra=1e8 band every ~3 steps) and SER
+    # growth respects it
     c.accept(1.0, 1e-9, lin_failed=False)
-    assert c.dt == pytest.approx(0.045)          # 3x growth capped by ceiling
-    assert c.dt_ceil == pytest.approx(0.045)
+    assert c.dt == pytest.approx(0.03 * SERController.CEIL_RELAX)
+    assert c.dt_ceil == pytest.approx(0.03 * SERController.CEIL_RELAX)
     # a linear failure WITH progress keeps SER but still lowers the ceiling
     c.accept(1.0, 0.5, lin_failed=True)
-    assert c.dt_ceil == pytest.approx(0.0225)
-    assert c.dt == pytest.approx(0.0225)
+    assert c.dt_ceil == pytest.approx(0.015 * SERController.CEIL_RELAX)
+    assert c.dt == pytest.approx(0.015 * SERController.CEIL_RELAX)
     # dt_min floors the collapse and reject_blowup reports death below it
     c2 = SERController(1e-10)
     assert not c2.reject_blowup()
