@@ -474,8 +474,12 @@ class BoussinesqMDA:
             # pseudo-transient shift no longer dominates (observed: a
             # ~1e-6 coupled-residual floor at Ra=1e5 P=8 32×32)
             precon = "bgs" if mode == "PTC" else "bj"
-        if precon not in ("bj", "bgs"):
-            raise ValueError("precon must be 'bj' or 'bgs'")
+        if precon not in ("bj", "bgs", "bgs2"):
+            # 'bgs2' = symmetric block Gauss-Seidel: after the NS block
+            # solve, re-solve the CD block against the velocity-advection
+            # coupling J_{T,(u,v)}·(du,dv) — the strength rung above 'bgs'
+            # for Ra ≳ 1e8 where BOTH off-diagonal blocks are strong
+            raise ValueError("precon must be 'bj', 'bgs' or 'bgs2'")
         self.precon_type = precon
         self.cd_comp = cd_comp
         self.ns_comp = ns_comp
@@ -638,10 +642,19 @@ class BoussinesqMDA:
         pieces across the preconditioner boundary)."""
         dT = self.cd_comp.solve_linear(rT, mtol=mtol,
                                        best_effort=best_effort)
-        if self.precon_type == "bgs":
+        if self.precon_type in ("bgs", "bgs2"):
             rv = self._bgs_rhs(dT, rv)
         du, dv, dp = self.ns_comp.solve_linear(ru, rv, rp, mtol=mtol,
                                                best_effort=best_effort)
+        if self.precon_type == "bgs2":
+            # symmetric sweep: re-solve the CD block against the
+            # velocity-advection coupling J_{T,(u,v)}·(du,dv) (with dT=0
+            # the tangent residual is exactly that off-diagonal block —
+            # Dirichlet rows and the σ-shifted diagonal contribute nothing)
+            corr = self.cd_comp.apply_linear(jnp.zeros_like(jnp.asarray(rT)),
+                                             du, dv)
+            dT = self.cd_comp.solve_linear(jnp.asarray(rT) - corr, mtol=mtol,
+                                           best_effort=best_effort)
         return dT, du, dv, dp
 
     def _bgs_rhs(self, dT, rv):
@@ -771,7 +784,7 @@ class BoussinesqMDA:
                 dT, _ = cd_s._update_jit(
                     rT, cd_u, cd_v, jnp.zeros(Ncd, rT.dtype),
                     jnp.asarray(mtol_pre_cd, rT.dtype), cd_sigma)
-                if self.precon_type == "bgs":
+                if self.precon_type in ("bgs", "bgs2"):
                     # block Gauss-Seidel (T first): forward the buoyancy
                     # coupling J_{v,T} = −(Gr/Re)·M into the NS RHS — the
                     # dominant off-diagonal block at high Ra
@@ -783,6 +796,18 @@ class BoussinesqMDA:
                     ru, rv, rp, ns_ul, ns_vl, ns_jac,
                     jnp.zeros(Nns, ru.dtype),
                     jnp.asarray(mtol_pre_ns, ru.dtype), ns_sigma)[:3]
+                if self.precon_type == "bgs2":
+                    # symmetric sweep: re-solve the CD block against the
+                    # velocity-advection coupling (dT=0 tangent = exactly
+                    # the J_{T,(u,v)} off-diagonal block)
+                    du_cd = apply_transfer(ns_s.grid, cd_s.grid, du)
+                    dv_cd = apply_transfer(ns_s.grid, cd_s.grid, dv)
+                    corr = cd_s._dres_jit(jnp.zeros_like(rT), cd_u, cd_v,
+                                          cd_jdu, cd_jdv, du_cd, dv_cd,
+                                          cd_sigma)
+                    dT = cd_s._update_jit(
+                        rT - corr, cd_u, cd_v, jnp.zeros(Ncd, rT.dtype),
+                        jnp.asarray(mtol_pre_cd, rT.dtype), cd_sigma)[0]
                 return jnp.concatenate([dT, du, dv, dp])
 
             return fgmres(mv, b, x0=x0, atol=atol, restart=self.restart,
@@ -912,7 +937,8 @@ class BoussinesqMDA:
         Ncd, Nns = self.N_cd, self.N_ns
         lp = jnp.float32
         eps = float(np.finfo(np.float64).eps)
-        bgs = self.precon_type == "bgs"
+        bgs = self.precon_type in ("bgs", "bgs2")
+        bgs2 = self.precon_type == "bgs2"
         RTOL = 1e-5                    # refined_gmres_host inner_rtol
         BIG = jnp.asarray(3e38, lp)    # "skip this chunk" tolerance
 
@@ -939,7 +965,9 @@ class BoussinesqMDA:
         def pc_apply(rT, ru, rv, rp,
                      cd_u, cd_v, cd_s64, cd_ul32, cd_vl32, cd_s32,
                      ns_u, ns_v, ns_jac, ns_ul32, ns_vl32, ns_jac32,
-                     ns_s32, dinv32, mtol_cd, mtol_ns):
+                     ns_s32, dinv32, mtol_cd, mtol_ns, *cd_jd):
+            # cd_jd = (cd_jdu, cd_jdv) — the CD velocity-advection Jacobian
+            # diagonals, passed only for the 'bgs2' symmetric-sweep variant
             dT, its_cd = two_rounds(
                 lambda x, xin: cd_s._pass_jit(x, xin, rT, cd_u, cd_v,
                                               cd_s64, cd_s32),
@@ -972,12 +1000,31 @@ class BoussinesqMDA:
                                                        ns_vl32, ns_jac32,
                                                        ns_s32)[:2],
                     b, 3 * Nns, mtol_ns)
+            if bgs2:
+                # symmetric sweep: re-solve the CD block against the
+                # velocity-advection coupling J_{T,(u,v)}·(du,dv) — with
+                # dT=0 the CD tangent is exactly that off-diagonal block
+                # (Dirichlet rows and the σ-shifted diagonal contribute 0)
+                from sem_tpu.interp import apply_transfer
+                du_cd = apply_transfer(ns_s.grid, cd_s.grid, xn[:Nns])
+                dv_cd = apply_transfer(ns_s.grid, cd_s.grid,
+                                       xn[Nns:2 * Nns])
+                corr = cd_s._dres_jit(jnp.zeros_like(dT), cd_u, cd_v,
+                                      cd_jd[0], cd_jd[1], du_cd, dv_cd,
+                                      cd_s64)
+                dT, its_cd2 = two_rounds(
+                    lambda x, xin: cd_s._pass_jit(x, xin, rT - corr, cd_u,
+                                                  cd_v, cd_s64, cd_s32),
+                    lambda r, x0, a: cd_s._gmres32_jit(r, x0, a, cd_ul32,
+                                                       cd_vl32, cd_s32)[:2],
+                    rT - corr, Ncd, mtol_cd)
+                its_cd = its_cd + its_cd2
             return (dT, xn[:Nns], xn[Nns:2 * Nns], xn[2 * Nns:],
                     its_cd, its_ns)
 
         return jit_hoisted(
             pc_apply, f"mda.pc_apply@{cd_s.grid.tag}|{ns_s.grid.tag}"
-                      f"/k{k_inner}{'b' if bgs else 'j'}")
+                      f"/k{k_inner}{'b2' if bgs2 else 'b' if bgs else 'j'}")
 
     def _pc_fused(self, mtol=None):
         """Bind the fused preconditioner application to the CURRENT
@@ -1013,6 +1060,9 @@ class BoussinesqMDA:
                ns_jac32, ns_s32, dinv32,
                jnp.asarray(mtol_cd, jnp.float64),
                jnp.asarray(mtol_ns, jnp.float64))
+        if self.precon_type == "bgs2":
+            # the symmetric sweep's CD velocity-advection diagonals
+            lin = lin + (cd_s._jac_diag_u, cd_s._jac_diag_v)
 
         def precon_split(rT, ru, rv, rp):
             # normalize program-boundary layouts (lesson: GSPMD auto-layouts

@@ -38,8 +38,9 @@ import jax.numpy as jnp
 
 
 def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
-          velo_inners=(5,), its=80, restart=20, mtol_nonlin=1e-10,
-          mtol_gmres=1e-13, mtol_internal=1e-13, ptc_forcing=None):
+          velo_inners=(5,), pcs=("bgs",), its=80, restart=20,
+          mtol_nonlin=1e-10, mtol_gmres=1e-13, mtol_internal=1e-13,
+          ptc_forcing=None):
     from sem_tpu.coupling import build_coupled
     from sem_tpu.coupling.mda import _fgmres, CoupledState
     from sem_tpu.utils.checkpoint import load_checkpoint
@@ -48,14 +49,14 @@ def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
     print(f"checkpoint: {ckpt}\n  config {cfg0}")
 
     rows = []
-    for k in velo_inners:
+    for k, pc in [(k, pc) for k in velo_inners for pc in pcs]:
         cd, ns, mda = build_coupled(
             1.0, 1.0, Re=Re, Ra=Ra, Pr=Pr,
             P_cd=P, N_ex_cd=max(1, N_e // 2), N_ey_cd=max(1, N_e // 2),
             P_ns=P, N_ex_ns=N_e, N_ey_ns=N_e, mode="PTC",
             mtol_nonlin=mtol_nonlin, mtol_gmres=mtol_gmres,
             restart=restart, mtol_internal=mtol_internal,
-            velo_inner=k,
+            velo_inner=k, precon=pc,
             **({"ptc_forcing": ptc_forcing} if ptc_forcing else {}))
         s = CoupledState(jnp.asarray(state0.T), jnp.asarray(state0.u),
                          jnp.asarray(state0.v), jnp.asarray(state0.p))
@@ -64,7 +65,7 @@ def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
         atol_k = max(mda.atol_gmres, mda.ptc_forcing * norm)
         Pe = mda.cd_comp.cd._Pe
         Re_ = mda.ns_comp.ns._Re
-        print(f"velo_inner={k}: |F| = {norm:.4e}, atol_k = {atol_k:.4e}")
+        print(f"velo_inner={k} pc={pc}: |F| = {norm:.4e}, atol_k = {atol_k:.4e}")
         for dt in dts:
             mda._linearize(s, sigma_cd=Pe / dt, sigma_ns=Re_ / dt)
             hist = []
@@ -81,12 +82,12 @@ def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
             need = (0.0 if res <= atol_k else
                     np.log(res / atol_k) / -np.log(rho)
                     if 0 < rho < 1 else np.inf)
-            rows.append((k, dt, iters, res / norm, rho, need))
+            rows.append((k, pc, dt, iters, res / norm, rho, need))
             print(f"  dt={dt:<8g} its={iters:<4d} rel={res / norm:.3e} "
                   f"rho(20)={rho:.5f} projected_to_atol="
                   f"{need if np.isfinite(need) else float('inf'):.0f}",
                   flush=True)
-    print("\nsummary (velo_inner, dt, its, rel, rho, projected):")
+    print("\nsummary (velo_inner, pc, dt, its, rel, rho, projected):")
     for r in rows:
         print("  " + "\t".join(f"{x:.4g}" if isinstance(x, float) else str(x)
                                for x in r))
@@ -102,5 +103,6 @@ if __name__ == "__main__":
           Re=float(get("-Re", "1e3")), Pr=float(get("-Pr", "0.71")),
           dts=[float(s) for s in get("-dt", "0.9").split(",")],
           velo_inners=[int(s) for s in get("-velo_inner", "5").split(",")],
+          pcs=get("-pc", "bgs").split(","),
           its=int(get("-its", "80")), restart=int(get("-restart", "20")),
           ptc_forcing=(float(get("-forcing", "0")) or None))

@@ -357,3 +357,55 @@ def test_fgmres_forecast_exit():
                                  forecast=True)
     assert ok_fc and it_fc == it_ref
     np.testing.assert_allclose(np.asarray(x_fc), np.asarray(x_ref))
+
+
+def test_bgs2_symmetric_precon():
+    """The 'bgs2' symmetric block-Gauss-Seidel preconditioner (CD → NS →
+    CD re-solve against the velocity-advection coupling J_{T,(u,v)}):
+
+    * end-to-end PTC (device-Krylov path → _build_jnk_cycle's bgs2 branch)
+      reaches the same steady state as 'bgs' — a preconditioner never moves
+      the fixed point — and here in no more coupled iterations;
+    * the fused one-dispatch application (_build_pc_fused 'b2' flavor) and
+      the host-orchestrated _block_jacobi_split agree on the same residual
+      (policy differences only: fixed two-round vs adaptive refinement).
+    """
+    from sem_tpu.coupling.mda import CoupledState
+
+    KW = dict(Re=1e3, Ra=1e4, Pr=0.71, P_cd=3, N_ex_cd=2, N_ey_cd=2,
+              P_ns=3, N_ex_ns=4, N_ey_ns=4, mode="PTC", mtol_nonlin=1e-8,
+              iprint=False, ptc_dt0=0.5)
+    cd, ns, mda = build_coupled(1.0, 1.0, precon="bgs", **KW)
+    s_ref = mda.solve()
+    its_ref = mda.stats.as_list()
+    cd, ns, mda2 = build_coupled(1.0, 1.0, precon="bgs2", **KW)
+    s2 = mda2.solve()
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s_ref.u),
+                               atol=2e-7)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s_ref.T),
+                               atol=2e-7)
+    # the symmetric sweep must not be WEAKER than one-directional bgs on
+    # this strongly-coupled config (measured: 72 vs 135 discipline solves)
+    assert mda2.stats.as_list()[0] <= its_ref[0]
+
+    # fused vs host application parity at a nontrivial linearization
+    z = jnp.zeros(mda2.N_cd)
+    zn = jnp.zeros(mda2.N_ns)
+    s = mda2._gs_sweep(CoupledState(z, zn, zn, zn), mtol=1e-4)
+    mda2._linearize(s, sigma_cd=7.1, sigma_ns=10.0)
+    F = mda2._residuals(s)
+    rT, ru, rv, rp = mda2._unpack(-F)
+    host = mda2._block_jacobi_split(rT, ru, rv, rp, mtol=1e-6,
+                                    best_effort=True)
+    fpc = mda2._pc_fused(mtol=1e-6)
+    assert fpc is not None
+    fused = fpc(rT, ru, rv, rp)
+    for h, f in zip(host, fused):
+        h, f = np.asarray(h), np.asarray(f)
+        assert (np.linalg.norm(h - f)
+                <= 5e-3 * np.linalg.norm(h) + 1e-12)
+
+
+def test_bgs2_rejected_for_bad_precon_name():
+    with pytest.raises(ValueError):
+        build_coupled(1.0, 1.0, mode="PTC", precon="bogus", **QUICK)
