@@ -33,6 +33,9 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
     -init path.npz  warm-start from a checkpoint of a DIFFERENT physics
                     config on the same grid (manual Ra/Re continuation;
                     ignored when -resume finds a same-config checkpoint)
+    -precon bgs2    coupled-preconditioner override (bj | bgs | bgs2;
+                    bgs2 = symmetric sweep — re-solve the CD block against
+                    the velocity-advection coupling after the NS solve)
     -velo_inner 5   strengthen every coupled-preconditioner application
                     with k FDM-preconditioned GMRES steps on the true
                     shifted velocity Jacobian (flexible f32 chunks) — the
@@ -82,7 +85,7 @@ def run(log=False, save=True,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
         resume=False, velo_inner=0, init=None, budget=None,
-        ptc_dt0=None, ptc_growth=None, ptc_forcing=None):
+        ptc_dt0=None, ptc_growth=None, ptc_forcing=None, precon=None):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -131,6 +134,10 @@ def run(log=False, save=True,
                              ("ptc_forcing", ptc_forcing)):
                 if v is not None:
                     kw[kname] = float(v)
+            if precon is not None:
+                # coupled-preconditioner override ('bj'/'bgs'/'bgs2'; the
+                # default is mode-dependent — see BoussinesqMDA.__init__)
+                kw["precon"] = precon
             if init and racont:
                 raise ValueError(
                     "-init is not supported with -racont True (the Ra "
@@ -229,6 +236,7 @@ if __name__ == "__main__":
     ptc_dt0 = None
     ptc_growth = None
     ptc_forcing = None
+    precon = None
     backend = "single"
     P_set = [4]
     Ne_set = [8]
@@ -271,6 +279,8 @@ if __name__ == "__main__":
             ptc_growth = float(args[i + 1])
         if arg == "-ptc_forcing":
             ptc_forcing = float(args[i + 1])
+        if arg == "-precon":
+            precon = args[i + 1]
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -281,4 +291,4 @@ if __name__ == "__main__":
                         racont=racont, ckpt=ckpt, resume=resume,
                         velo_inner=velo_inner, init=init, budget=budget,
                         ptc_dt0=ptc_dt0, ptc_growth=ptc_growth,
-                        ptc_forcing=ptc_forcing)
+                        ptc_forcing=ptc_forcing, precon=precon)
