@@ -57,6 +57,7 @@ def main():
     restart = _flag("-restart", 60, int)
     maxiter = _flag("-maxiter", 2000, int)
     inner_maxiter = _flag("-inner_maxiter", 600, int)
+    max_basis_gb = _flag("-max_basis_gb", 0.5)
     do_fd = _flag("-fd", 0, int)
 
     state, cfg, iters = load_checkpoint(path)
@@ -94,6 +95,7 @@ def main():
                              atol=atol, restart=restart, maxiter=maxiter,
                              inner_rtol=inner_rtol,
                              inner_maxiter=inner_maxiter,
+                             max_basis_gb=max_basis_gb,
                              raise_on_fail=False)
     wall = time.perf_counter() - t0
     print(f"adjoint solve: {wall:.1f}s, {its} outer FGMRES iterations "
