@@ -188,7 +188,7 @@ def build_coupled(L_x: float, L_y: float,
                   mtol_gmres=1e-10, restart=20,
                   mtol_internal=1e-13, mtol_precon=1e-4, iprint=True,
                   device_krylov=None, forcing=1e-3, mtol_subsolve=1e-6,
-                  velo_inner=0, **mda_kwargs):
+                  velo_inner=0, schur_precon=None, **mda_kwargs):
     """Construct solvers, components, and the MDA for the Boussinesq problem.
 
     Parameter names and defaults mirror the reference coupler's ``run``
@@ -205,6 +205,9 @@ def build_coupled(L_x: float, L_y: float,
     on the true shifted velocity Jacobian (flexible chunks) — the knob for
     the strongly convection-dominated regimes (Ra ≳ 1e7) where the plain
     FDM velocity blocks no longer hold the block preconditioner together.
+    ``schur_precon`` (when not ``None``) overrides the NS solver's Schur
+    approximation ('mass'|'pcd'|'spectral'; solver default 'spectral') —
+    exposed for offline strong-wind diagnostics (study/ptc_band_probe.py).
     """
     cd = ConvectionDiffusionSolver(L_x=L_x, L_y=L_y, Pe=Re * Pr,
                                    P=P_cd, N_ex=N_ex_cd, N_ey=N_ey_cd,
@@ -214,6 +217,8 @@ def build_coupled(L_x: float, L_y: float,
                             P=P_ns, N_ex=N_ex_ns, N_ey=N_ey_ns,
                             mtol=mtol_internal, mtol_newton=mtol_internal,
                             velo_inner=velo_inner,
+                            **({"schur_precon": schur_precon}
+                               if schur_precon is not None else {}),
                             iprint=["NEWTON_suc"] if iprint else [])
     cd_comp = ConvectionDiffusionComponent(cd, ns)
     ns_comp = NavierStokesComponent(cd, ns)

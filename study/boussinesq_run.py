@@ -23,9 +23,13 @@ Flags (comma-separated sweep lists, like the reference's hand-rolled parser):
                     (capability beyond the reference — SURVEY §5.4)
     -resume True    warm-start from that checkpoint if present (implies
                     checkpointing the continued run)
-    -ptc_dt0 0.1, -ptc_growth 3, -ptc_forcing 1e-2
+    -ptc_dt0 0.1, -ptc_growth 3, -ptc_forcing 1e-2, -ptc_dtmax 1e12
                     PTC controller overrides (initial pseudo-timestep, SER
-                    growth factor, linear forcing) for hard-regime tuning
+                    growth factor, linear forcing, hard Δt ceiling) for
+                    hard-regime tuning — pin -ptc_dtmax below a measured
+                    doomed Δt band (study/ptc_band_probe.py) to stop the
+                    controller re-probing it
+    -schur spectral NS Schur-block override (mass | pcd | spectral)
     -budget 9000    wall-clock budget in seconds: the MDA checkpoints and
                     exits GRACEFULLY between nonlinear iterations instead
                     of being SIGTERM'd mid-dispatch by an external timeout
@@ -85,7 +89,8 @@ def run(log=False, save=True,
         mtol_gmres=1e-13, restart=20,
         mtol_internal=1e-13, forcing=None, racont=False, ckpt=False,
         resume=False, velo_inner=0, init=None, budget=None,
-        ptc_dt0=None, ptc_growth=None, ptc_forcing=None, precon=None):
+        ptc_dt0=None, ptc_growth=None, ptc_forcing=None, precon=None,
+        ptc_dtmax=None, schur=None):
     # forcing=None: reference-parity fixed-tolerance coupled GMRES, so the
     # saved iteration counts compare against the reference study's
     from sem_tpu import operators as ops
@@ -131,9 +136,13 @@ def run(log=False, save=True,
                 import time as _time
                 kw["time_deadline"] = _time.monotonic() + float(budget)
             for kname, v in (("ptc_dt0", ptc_dt0), ("ptc_growth", ptc_growth),
-                             ("ptc_forcing", ptc_forcing)):
+                             ("ptc_forcing", ptc_forcing),
+                             ("ptc_dt_max", ptc_dtmax)):
                 if v is not None:
                     kw[kname] = float(v)
+            if schur is not None:
+                # NS Schur-block override ('mass'/'pcd'/'spectral')
+                kw["schur_precon"] = schur
             if precon is not None:
                 # coupled-preconditioner override ('bj'/'bgs'/'bgs2'; the
                 # default is mode-dependent — see BoussinesqMDA.__init__)
@@ -236,6 +245,8 @@ if __name__ == "__main__":
     ptc_dt0 = None
     ptc_growth = None
     ptc_forcing = None
+    ptc_dtmax = None
+    schur = None
     precon = None
     backend = "single"
     P_set = [4]
@@ -281,6 +292,10 @@ if __name__ == "__main__":
             ptc_forcing = float(args[i + 1])
         if arg == "-precon":
             precon = args[i + 1]
+        if arg == "-ptc_dtmax":
+            ptc_dtmax = float(args[i + 1])
+        if arg == "-schur":
+            schur = args[i + 1]
 
     for Re in Re_set:
         for Ra in Ra_set:
@@ -291,4 +306,5 @@ if __name__ == "__main__":
                         racont=racont, ckpt=ckpt, resume=resume,
                         velo_inner=velo_inner, init=init, budget=budget,
                         ptc_dt0=ptc_dt0, ptc_growth=ptc_growth,
-                        ptc_forcing=ptc_forcing, precon=precon)
+                        ptc_forcing=ptc_forcing, precon=precon,
+                        ptc_dtmax=ptc_dtmax, schur=schur)

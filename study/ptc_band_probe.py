@@ -40,7 +40,7 @@ import jax.numpy as jnp
 def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
           velo_inners=(5,), pcs=("bgs",), its=80, restart=20,
           mtol_nonlin=1e-10, mtol_gmres=1e-13, mtol_internal=1e-13,
-          ptc_forcing=None):
+          ptc_forcing=None, schur=None):
     from sem_tpu.coupling import build_coupled
     from sem_tpu.coupling.mda import _fgmres, CoupledState
     from sem_tpu.utils.checkpoint import load_checkpoint
@@ -57,6 +57,7 @@ def probe(ckpt, Ra, P=16, N_e=64, Re=1.e3, Pr=0.71, dts=(0.9,),
             mtol_nonlin=mtol_nonlin, mtol_gmres=mtol_gmres,
             restart=restart, mtol_internal=mtol_internal,
             velo_inner=k, precon=pc,
+            **({"schur_precon": schur} if schur else {}),
             **({"ptc_forcing": ptc_forcing} if ptc_forcing else {}))
         s = CoupledState(jnp.asarray(state0.T), jnp.asarray(state0.u),
                          jnp.asarray(state0.v), jnp.asarray(state0.p))
@@ -105,4 +106,5 @@ if __name__ == "__main__":
           velo_inners=[int(s) for s in get("-velo_inner", "5").split(",")],
           pcs=get("-pc", "bgs").split(","),
           its=int(get("-its", "80")), restart=int(get("-restart", "20")),
-          ptc_forcing=(float(get("-forcing", "0")) or None))
+          ptc_forcing=(float(get("-forcing", "0")) or None),
+          schur=get("-schur", None))
