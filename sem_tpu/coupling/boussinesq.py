@@ -90,12 +90,16 @@ def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
     # eigendecompositions, spectral Schur constants).  At p16 this hides most
     # of the fine level's construction behind the coarse solves
     # (VERDICT r2 #5: time-to-first-solution).
+    import time as _time
+    timing = kwargs.pop("timing", False)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(build_coupled, L_x, L_y,
                           P_cd=ladder[0][0], P_ns=ladder[0][1], **kwargs)
         for i, (Pc, Pn) in enumerate(ladder):
+            t_lv = _time.perf_counter()
             cd, ns, mda = fut.result()
+            t_build = _time.perf_counter() - t_lv
             if i + 1 < len(ladder):
                 fut = pool.submit(build_coupled, L_x, L_y,
                                   P_cd=ladder[i + 1][0],
@@ -118,7 +122,16 @@ def solve_continued(L_x, L_y, levels: int = 2, state0: CoupledState = None,
                     f"its own grids")
             if iprint:
                 print(f"Boussinesq continuation level P_cd={Pc} P_ns={Pn}")
+            t_sv = _time.perf_counter()
             state = mda.solve(state)
+            if timing:
+                # TTFS attribution (study/north_star.py --ttfs): the
+                # build-wait is only what the worker thread did NOT hide
+                # behind the previous level's solve
+                print(f"  [ttfs] level P_cd={Pc} P_ns={Pn}: build-wait "
+                      f"{t_build:.1f}s solve "
+                      f"{_time.perf_counter() - t_sv:.1f}s "
+                      f"stats={mda.stats.as_list()}", flush=True)
             src = (cd.grid, ns.grid)
     return cd, ns, mda, state
 

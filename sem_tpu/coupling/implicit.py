@@ -94,7 +94,8 @@ def coupled_residual_fn(cd, ns):
 def _block_precon_transposed(cd, ns, x_star, params,
                              inner_rtol: float = None,
                              inner_restart: int = 60,
-                             inner_maxiter: int = 600):
+                             inner_maxiter: int = 600,
+                             inner_basis_dtype=None):
     """Transposed block-GAUSS-SEIDEL preconditioner of ``J_xᵀ``.
 
     The forward high-Ra lesson transposes directly: block-Jacobi ignores the
@@ -167,18 +168,24 @@ def _block_precon_transposed(cd, ns, x_star, params,
         # (3.4M DOF) an unbounded 600-iteration f64 inner loop per block
         # risks accelerator watchdogs; the outer FGMRES is flexible, so a
         # capped inner solve only weakens (never breaks) the application
+        # the inner basis stores in f32 by default: a 1e-4 relative block
+        # tolerance sits far above the f32 recurrence floor (each restart
+        # recomputes the true residual in the working f64), and f64 CGS2
+        # sweeps are MXU-software-emulated — the same ~0.8 s/outer-iteration
+        # tax the forward host-FGMRES removed (BASELINE r4 "host-glue cuts")
         def ns_apply(r):
             q, _ = gmres(lambda z: vjp_ns(z)[0], r,
                          atol=rt * jnp.linalg.norm(r),
                          restart=inner_restart, maxiter=inner_maxiter,
-                         precon=pcT)
+                         precon=pcT, basis_dtype=inner_basis_dtype)
             return q
 
         def cd_apply(r):
             q, _ = gmres(lambda z: vjp_cd(z)[0], r,
                          atol=rt * jnp.linalg.norm(r),
                          restart=inner_restart, maxiter=inner_maxiter,
-                         precon=lambda t: cd._fdm(t))
+                         precon=lambda t: cd._fdm(t),
+                         basis_dtype=inner_basis_dtype)
             return q
     else:
         ns_apply = pcT
@@ -202,7 +209,8 @@ def _block_precon_transposed(cd, ns, x_star, params,
 def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
                   restart=60, maxiter=20000, inner_rtol: float = 1e-4,
                   inner_restart: int = 60, inner_maxiter: int = 600,
-                  raise_on_fail: bool = True, max_basis_gb: float = 0.5):
+                  raise_on_fail: bool = True, max_basis_gb: float = 0.5,
+                  iprint: bool = False, inner_basis_dtype=None):
     """Solve the adjoint system ``J_xᵀ λ = gbar`` at the converged state.
 
     The outer FGMRES runs on the ROW-SCALED transposed system
@@ -225,6 +233,12 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
         1420-iteration stall at a JNK-converged Ra=1e3 state where
         inner_rtol=1e-4 converges in ~300), so only use it when profiling
         shows the inner solves dominating AND the outer converges
+    :param iprint: print outer residual + per-iteration wall (the forward
+        solvers' iprint convention)
+    :param inner_basis_dtype: Krylov-basis dtype of the inner block solves
+        (None = auto: f32 above ``SEM_TPU_ADJ_INNER_F32_MIN_DOF`` block
+        DOF, default 1e6, else the working f64; see the in-code
+        measurement note)
     """
     F = coupled_residual_fn(cd, ns)
     x_star = jnp.asarray(x_star)
@@ -240,7 +254,31 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     n = x_star.shape[0]
     cap = max(8, int(max_basis_gb * 1e9 / (8 * max(n, 1))) - 1)
     restart = min(restart, cap)
-    inner_restart = min(inner_restart, cap)
+    # the inner block solves act on BLOCK-sized vectors (N_cd or 3·N_ns)
+    # with an f32 basis — cap their window by their own footprint, not the
+    # coupled-f64 worst case (at p16 the shared cap collapsed the inner
+    # window to 17, gutting the convection-dominated NS block solve the
+    # preconditioner's strength comes from)
+    n_in = max(3 * ns.N, cd.N)
+    # inner-basis dtype, auto by block size (override explicitly or via
+    # SEM_TPU_ADJ_INNER_F32_MIN_DOF): above ~1M block DOF the inner solves
+    # store their Krylov basis in f32 — a 1e-4 relative block tolerance sits
+    # far above the f32 recurrence floor (restarts recompute the true
+    # residual in f64) and the f64 CGS2 sweeps are MXU-software-emulated
+    # (the measured ~0.8 s/iteration tax the forward host-FGMRES removed).
+    # Measured at a PTC-converged Ra=1e5 state (CPU): identical outer
+    # iteration count (33), gradient shift ~1.6e-3 relative — inside the
+    # solve's own uncertainty in the dRa functional (|λ| ≈ 1e15 with ~1e10
+    # cancellation in λᵀ∂F/∂Ra; the FD reference itself carries ~2e-4-1e-3
+    # noise).  Small/deep-tolerance problems keep the full-precision basis.
+    if inner_basis_dtype is None:
+        import os as _os
+        thresh = float(_os.environ.get("SEM_TPU_ADJ_INNER_F32_MIN_DOF",
+                                       "1e6") or "1e6")
+        inner_basis_dtype = jnp.float32 if n_in > thresh else None
+    bytes_in = 4 if inner_basis_dtype == jnp.float32 else 8
+    cap_in = max(8, int(max_basis_gb * 1e9 / (bytes_in * max(n_in, 1))) - 1)
+    inner_restart = min(inner_restart, cap_in)
     _, vjp_x = jax.vjp(lambda x: F(x, params), x_star)
     mv = jax.jit(lambda lam: vjp_x(lam)[0])
 
@@ -253,16 +291,27 @@ def solve_adjoint(cd, ns, x_star, gbar, params, atol=1e-10,
     precon = _block_precon_transposed(cd, ns, x_star, params,
                                       inner_rtol=inner_rtol,
                                       inner_restart=inner_restart,
-                                      inner_maxiter=inner_maxiter)
+                                      inner_maxiter=inner_maxiter,
+                                      inner_basis_dtype=inner_basis_dtype)
 
     # all callables device-native: _fgmres keeps every n-sized vector on
     # the device (host round trips per callback were the measured p16
     # pathology its docstring records)
+    cb = None
+    if iprint:
+        import time as _time
+        t_ip = [_time.perf_counter()]
+
+        def cb(it, res):
+            now = _time.perf_counter()
+            print(f"   adjoint FGMRES: {it}\t{res:.6e}\t"
+                  f"({now - t_ip[0]:.1f}s/it)", flush=True)
+            t_ip[0] = now
     lam, iters, ok = _fgmres(
         lambda z: mv(z) * einv,
         lambda r: precon(r * e),
         jnp.asarray(gbar) * einv, atol=atol * np.sqrt(gbar.shape[0]),
-        restart=restart, maxiter=maxiter,
+        restart=restart, maxiter=maxiter, callback=cb,
         # full-precision outer basis: the adjoint is validated to 1e-6
         # RAW-relative in one solve — at/below the f32 refinement floor
         basis_dtype=jnp.float64)

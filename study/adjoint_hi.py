@@ -14,7 +14,7 @@ tests/test_implicit.py (sum of u^2 + v^2 over NS nodes).
 Usage:
   python study/adjoint_hi.py -ckpt Boussinesq_study/<title>.ckpt.npz \
       [-inner_rtol 1e-4] [-atol 1e-10] [-restart 60] [-maxiter 2000] \
-      [-inner_maxiter 600] [-fd 0]
+      [-inner_maxiter 600] [-max_basis_gb 0.5] [-iprint 1] [-fd 0]
 
 ``-fd 1`` additionally validates d(loss)/d(Ra) by central finite
 differences via warm-started re-solves from the checkpointed state
@@ -96,7 +96,8 @@ def main():
                              inner_rtol=inner_rtol,
                              inner_maxiter=inner_maxiter,
                              max_basis_gb=max_basis_gb,
-                             raise_on_fail=False)
+                             raise_on_fail=False,
+                             iprint=bool(_flag("-iprint", 0, int)))
     wall = time.perf_counter() - t0
     print(f"adjoint solve: {wall:.1f}s, {its} outer FGMRES iterations "
           f"({wall / max(its, 1):.2f} s/it)", flush=True)

@@ -81,8 +81,10 @@ def main():
         lad = [(P, P) for P in LADDER]
         t0 = time.perf_counter()
         cd, ns, mda, s = solve_continued(1.0, 1.0, ladder=lad, P_cd=16,
-                                         P_ns=16, **KW)
+                                         P_ns=16, timing=True, **KW)
         wall = time.perf_counter() - t0
+        from sem_tpu.utils import prefetch
+        print(f"  [ttfs] prefetch stats: {prefetch.stats()}", flush=True)
         u_anchor = float(jnp.max(jnp.abs(s.u))) * 1e3 * 0.71
         r = mda._residuals(s)
         print(f"TTFS: end-to-end p16 64x64 build+solve {wall:.1f}s "
