@@ -208,6 +208,71 @@ def apply_system_pallas(grid: Grid2D, u: jax.Array, v: jax.Array,
     return out[:Ngx, :Ngy].reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def apply_system_banded_xla(grid: Grid2D, u: jax.Array, v: jax.Array,
+                            w: jax.Array, coef) -> jax.Array:
+    """Staggered banded apply as TWO batched einsums in pure XLA.
+
+    Same block-banded math as :func:`apply_system_pallas` (identical
+    ``_banded_constants_stag`` operands), but issued as one batched
+    (nbx, 2B, 2B)×(nbx, 2B, C) contraction for the x-direction and one
+    (R, nby, 2B)×(nby, 2B, 2B) for the y-direction, with XLA fusing the
+    mass/convection combination.  Motivation (study/roofline.py, round 5):
+    the Pallas kernel is ISSUE-bound, not FLOP-bound — its per-row-block
+    programs issue ~10 small sequential MXU matmuls each (~80 per apply at
+    p16 64×64), while a batched einsum pays ~one issue per direction
+    (study/op_latency.py: four-field batched einsum 3× its sequential
+    dispatches).  The overlapping band windows are materialized by two
+    aligned reshape+concat views (pure copies, no gather).
+    """
+    if w.dtype == jnp.float64:
+        return ops.apply_system(grid, u, v, w, coef)
+    dt = w.dtype
+    bx, by, m1x, m1y, nbx, nby = _banded_constants_stag(grid, dt.name)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    H = _B // 2
+    Rout, Cout = nbx * _B, nby * _B
+    hi = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+
+    W = w.reshape(Ngx, Ngy)
+    W1 = jnp.pad(W, ((H, Rout + _B - H - Ngx), (0, Cout - Ngy)))
+    W2 = jnp.pad(W, ((0, Rout - Ngx), (H, Cout + _B - H - Ngy)))
+
+    # x-direction: each output block contracts the 2B-row window at stride
+    # B of the row-staggered field — expressed as TWO aligned batched
+    # contractions (the window's first/second block half), so the
+    # overlapping windows are never materialized (reshape views only)
+    bxj = jnp.asarray(bx)
+    Ax = W1.reshape(nbx + 1, _B, Cout)
+    X = (jnp.einsum("iok,ikc->ioc", bxj[:, :, :_B], Ax[:-1], precision=hi)
+         + jnp.einsum("iok,ikc->ioc", bxj[:, :, _B:], Ax[1:],
+                      precision=hi))                         # (nbx, 2B, C)
+    Kx = X[:, :_B, :].reshape(Rout, Cout)
+    Gx = X[:, _B:, :].reshape(Rout, Cout)
+
+    # y-direction: 2B-column windows at stride B of the column-staggered
+    # field; by[j] carries [K1yᵀ | G1yᵀ] side by side
+    byj = jnp.asarray(by)
+    Ay = W2.reshape(Rout, nby + 1, _B)
+    Y = (jnp.einsum("rjk,jko->rjo", Ay[:, :-1], byj[:, :_B], precision=hi)
+         + jnp.einsum("rjk,jko->rjo", Ay[:, 1:], byj[:, _B:],
+                      precision=hi))                         # (R, nby, 2B)
+    Ky = Y[:, :, :_B].reshape(Rout, Cout)
+    Gy = Y[:, :, _B:].reshape(Rout, Cout)
+
+    m1xj = jnp.asarray(m1x)                                  # (Rout, 1)
+    m1yj = jnp.asarray(m1y)                                  # (1, Cout)
+    up = jnp.pad(u.astype(dt).reshape(Ngx, Ngy),
+                 ((0, Rout - Ngx), (0, Cout - Ngy)))
+    vp = jnp.pad(v.astype(dt).reshape(Ngx, Ngy),
+                 ((0, Rout - Ngx), (0, Cout - Ngy)))
+    coef_ = jnp.asarray(coef, dt)
+    out = (Kx * m1yj + m1xj * Ky
+           + coef_ * (up * (Gx * m1yj) + vp * (m1xj * Gy)))
+    return out[:Ngx, :Ngy].reshape(-1)
+
+
 def _coupled_kernel():
     """Fused coupled (du, dv, dp) saddle matvec: the NS solver's hot
     operator (NavierStokesSolver._coupled_ops.mv — the tangent residual
@@ -349,6 +414,83 @@ def apply_coupled_system_pallas(grid: Grid2D, q: jax.Array,
           Ulp, Vlp, jxx, jxy, jyx, jyy, mbp,
           jnp.asarray(bx), jnp.asarray(by),
           jnp.asarray(m1x), jnp.asarray(m1y), coef_arr)
+
+    def unpad(o):
+        return o[:Ngx, :Ngy].reshape(-1)
+
+    return jnp.concatenate([unpad(dru), unpad(drv), unpad(drc)])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def apply_coupled_system_banded_xla(grid: Grid2D, q: jax.Array,
+                                    ul: jax.Array, vl: jax.Array,
+                                    jac, mb: jax.Array, coef) -> jax.Array:
+    """Coupled saddle matvec as FOUR field-batched einsums in pure XLA.
+
+    Same math and operands as :func:`apply_coupled_system_pallas`, but the
+    three Krylov fields (du, dv, dp) are stacked into one batch dimension
+    and each direction's staggered banded contraction is issued as two
+    aligned batched einsums — ~4 large MXU issues per apply instead of the
+    2D-tiled kernel's nbx·nby programs × 6 small matmuls (~432 at p16
+    64×64; the ISSUE-bound regime study/roofline.py identified).  The
+    mass/convection/Jacobian/mask combination fuses in XLA.
+    """
+    dt = q.dtype
+    bx, by, m1x, m1y, nbx, nby = _banded_constants_stag(grid, dt.name)
+    Ngx, Ngy = grid.Ngx, grid.Ngy
+    H = _B // 2
+    Rout, Cout = nbx * _B, nby * _B
+    hi = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+
+    Q3 = q.reshape(3, Ngx, Ngy)
+    Q1 = jnp.pad(Q3, ((0, 0), (H, Rout + _B - H - Ngx), (0, Cout - Ngy)))
+    Q2 = jnp.pad(Q3, ((0, 0), (0, Rout - Ngx), (H, Cout + _B - H - Ngy)))
+
+    bxj = jnp.asarray(bx)
+    Ax = Q1.reshape(3, nbx + 1, _B, Cout)
+    X = (jnp.einsum("iok,fikc->fioc", bxj[:, :, :_B], Ax[:, :-1],
+                    precision=hi)
+         + jnp.einsum("iok,fikc->fioc", bxj[:, :, _B:], Ax[:, 1:],
+                      precision=hi))                      # (3, nbx, 2B, C)
+    Kx = X[:, :, :_B, :].reshape(3, Rout, Cout)
+    Gx = X[:, :, _B:, :].reshape(3, Rout, Cout)
+
+    byj = jnp.asarray(by)
+    Ay = Q2.reshape(3, Rout, nby + 1, _B)
+    Y = (jnp.einsum("frjk,jko->frjo", Ay[:, :, :-1], byj[:, :_B],
+                    precision=hi)
+         + jnp.einsum("frjk,jko->frjo", Ay[:, :, 1:], byj[:, _B:],
+                      precision=hi))                      # (3, R, nby, 2B)
+    Ky = Y[..., :_B].reshape(3, Rout, Cout)
+    Gy = Y[..., _B:].reshape(3, Rout, Cout)
+
+    m1xj = jnp.asarray(m1x)                               # (Rout, 1)
+    m1yj = jnp.asarray(m1y)                               # (1, Cout)
+    K2d = Kx * m1yj + m1xj * Ky                           # (3, Rout, Cout)
+    gx = Gx * m1yj
+    gy = m1xj * Gy
+
+    def pad_ctr(f):
+        return jnp.pad(f.astype(dt).reshape(Ngx, Ngy),
+                       ((0, Rout - Ngx), (0, Cout - Ngy)))
+
+    ulp, vlp = pad_ctr(ul), pad_ctr(vl)
+    jxx, jxy, jyx, jyy = (pad_ctr(j) for j in jac)
+    mbp = pad_ctr(mb)
+    du = jnp.pad(Q3[0], ((0, Rout - Ngx), (0, Cout - Ngy)))
+    dv = jnp.pad(Q3[1], ((0, Rout - Ngx), (0, Cout - Ngy)))
+    coef_ = jnp.asarray(coef, dt)
+
+    dru = K2d[0] + coef_ * (ulp * gx[0] + vlp * gy[0]) \
+        + jxx * du + jxy * dv + gx[2]
+    drv = K2d[1] + coef_ * (ulp * gx[1] + vlp * gy[1]) \
+        + jyx * du + jyy * dv + gy[2]
+    drc = gx[0] + gy[1]
+    one = jnp.asarray(1.0, dt)
+    dru = mbp * du + (one - mbp) * dru
+    drv = mbp * dv + (one - mbp) * drv
+    drc = mbp * K2d[2] + (one - mbp) * drc
 
     def unpad(o):
         return o[:Ngx, :Ngy].reshape(-1)
