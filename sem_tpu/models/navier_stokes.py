@@ -613,7 +613,10 @@ class NavierStokesSolver:
                                      apply_coupled_system_pallas_sharded,
                                      coupled_pallas_wanted,
                                      sharded_pallas_mesh)
+            from sem_tpu.ops.pallas_kernels import (
+                apply_coupled_system_banded_xla, apply_kernel_choice)
             use_pallas = coupled_pallas_wanted(grid, xdtype)
+            use_einsum = use_pallas and apply_kernel_choice() == "einsum"
             # under an active multi-device mesh, route to the shard_map-
             # wrapped kernel (manual SPMD + ICI halo exchange) — a bare
             # pallas_call would be replicated by GSPMD
@@ -628,6 +631,10 @@ class NavierStokesSolver:
                         out = apply_coupled_system_pallas_sharded(
                             grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
                             jnp.asarray(Re, xdtype), mesh=pallas_mesh)
+                    elif use_einsum:
+                        out = apply_coupled_system_banded_xla(
+                            grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,
+                            jnp.asarray(Re, xdtype))
                     else:
                         out = apply_coupled_system_pallas(
                             grid, q, ul, vl, (jxx, jxy, jyx, jyy), mb,

@@ -747,12 +747,24 @@ def _multichip_mesh_active() -> bool:
     return mesh is not None and mesh.devices.size > 1
 
 
+def apply_kernel_choice() -> str:
+    """Which fused-apply backend the dispatchers prefer for large
+    single-chip f32/bf16 grids: ``SEM_TPU_APPLY_KERNEL`` ∈
+    {``pallas`` (default), ``einsum``, ``dense``} — read at trace time like
+    the other dispatch policies.  ``einsum`` selects the field-batched
+    staggered-banded XLA variants (see ``apply_system_banded_xla``)."""
+    import os
+    return os.environ.get("SEM_TPU_APPLY_KERNEL", "pallas").strip().lower()
+
+
 def pallas_wanted(grid: Grid2D, dtype) -> bool:
-    """Whether a fused apply should route through the Pallas kernels: large
+    """Whether a fused apply should route through the single-chip banded
+    kernels (Pallas or einsum, per :func:`apply_kernel_choice`): large
     f32/bf16 grids, TPU backend, and no active multi-device mesh."""
     return (dtype != jnp.float64 and grid.N >= _PALLAS_MIN_N
             and jax.default_backend() == "tpu"
-            and not _multichip_mesh_active())
+            and not _multichip_mesh_active()
+            and apply_kernel_choice() != "dense")
 
 
 def sharded_pallas_mesh(grid: Grid2D, dtype):
@@ -772,10 +784,13 @@ def sharded_pallas_mesh(grid: Grid2D, dtype):
 
 def apply_system_best(grid: Grid2D, u, v, w, coef):
     """Dispatch the fused system apply to the faster backend for the size:
-    the Pallas block-banded kernel for large f32/bf16 grids on single-chip
-    TPU, the shard_map-wrapped kernel under a multi-device mesh, the XLA
+    the banded kernel (Pallas or batched-einsum XLA, per
+    ``SEM_TPU_APPLY_KERNEL``) for large f32/bf16 grids on single-chip TPU,
+    the shard_map-wrapped kernel under a multi-device mesh, the XLA
     two-matmul path otherwise."""
     if pallas_wanted(grid, w.dtype):
+        if apply_kernel_choice() == "einsum":
+            return apply_system_banded_xla(grid, u, v, w, coef)
         return apply_system_pallas(grid, u, v, w, coef)
     mesh = sharded_pallas_mesh(grid, w.dtype)
     if mesh is not None:
