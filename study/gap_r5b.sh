@@ -12,12 +12,17 @@ PYTHONUNBUFFERED=1 timeout 2400 python study/north_star.py --ttfs --short \
     > study/hw_logs/north_r5c.log 2>&1
 echo "north rc=$?"
 
-# 2. apply-variant head-to-head (dense / pallas / einsum; simple + coupled)
+# 2. TTFS of the DIRECT p16 solve (one program set, no coarse level)
+PYTHONUNBUFFERED=1 timeout 2400 python study/north_star.py --ttfs --direct \
+    > study/hw_logs/north_r5d.log 2>&1
+echo "north-direct rc=$?"
+
+# 3. apply-variant head-to-head (dense / pallas / einsum; simple + coupled)
 PYTHONUNBUFFERED=1 timeout 2400 python study/apply_variants.py \
     > study/hw_logs/applyvar_r5.log 2>&1
 echo "applyvar rc=$?"
 
-# 3. resume the Ra=1e8 march (budget exits between iterations; outer
+# 4. resume the Ra=1e8 march (budget exits between iterations; outer
 #    timeout is a backstop only — lesson 17)
 date
 nohup timeout 17100 python study/boussinesq_run.py -P 16 -Ne 64 -Ra 1e8 \

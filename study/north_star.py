@@ -78,7 +78,12 @@ def ladder(levels):
 def main():
     if "--ttfs" in sys.argv:
         from sem_tpu.coupling.boussinesq import solve_continued
-        lad = [(P, P) for P in LADDER]
+        # --ttfs --direct: single-level "ladder" — the round-5 warmer
+        # attribution showed the COARSE level's program set dominates TTFS
+        # (P4 level 360 s vs P16 level 5.3 s warm-started); a direct p16
+        # solve pays ONE program set + [15,14,3] Newton from zero
+        lad = ([(16, 16)] if "--direct" in sys.argv
+               else [(P, P) for P in LADDER])
         t0 = time.perf_counter()
         cd, ns, mda, s = solve_continued(1.0, 1.0, ladder=lad, P_cd=16,
                                          P_ns=16, timing=True, **KW)
